@@ -1,0 +1,89 @@
+"""Host audio I/O (WAV/FLAC).
+
+Replaces the reference's Go codecs:
+- WAV decode/encode via faiface/beep (/root/reference/mel/impl.go:195-264,
+  phase/impl.go:280-349): channel-0 extraction on load, mono 16-bit on save.
+- FLAC decode via mewkiz/flac (pure Go) with two DIFFERENT integer scalings:
+  mel divides by 65536 (/root/reference/mel/impl.go:290) while phase divides by
+  32768 (/root/reference/phase/impl.go:375) — ``scaling="mel"`` halves the
+  standard full-scale value.
+- The Python port uses channel-MEAN for stereo (/root/reference/phase.py:488-489);
+  ``mono="mean"`` reproduces that, ``mono="left"`` the Go channel-0 behavior.
+
+This environment has no soundfile/libsndfile, so WAV goes through
+scipy.io.wavfile and FLAC through our own native decoder
+(native/flacdec.cpp via gomel_tpu.io.flac).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.io import wavfile
+
+from ..core.config import FileNotLoadedError
+
+
+def _to_mono(audio: np.ndarray, mono: str) -> np.ndarray:
+    if audio.ndim > 1:
+        if mono == "mean":
+            return np.mean(audio, axis=1)
+        return audio[:, 0].astype(np.float64)
+    return audio
+
+
+def _to_float(audio: np.ndarray) -> np.ndarray:
+    """Integer PCM -> float64 full-scale [-1, 1) (libsndfile convention)."""
+    if audio.dtype == np.int16:
+        return audio.astype(np.float64) / 32768.0
+    if audio.dtype == np.int32:
+        return audio.astype(np.float64) / 2147483648.0
+    if audio.dtype == np.uint8:
+        return (audio.astype(np.float64) - 128.0) / 128.0
+    return audio.astype(np.float64)
+
+
+def load_wav(path: str, mono: str = "mean") -> tuple[np.ndarray, int]:
+    """Load a WAV file -> (float64 mono samples, sample_rate).
+
+    Raises FileNotLoadedError on failure (parity with LoadWavSampleRate,
+    /root/reference/phase/phase.go:177-183).
+    """
+    try:
+        sr, audio = wavfile.read(path)
+    except Exception as e:
+        raise FileNotLoadedError(f"could not load wav {path!r}: {e}") from e
+    audio = _to_mono(_to_float(audio), mono)
+    if audio.size == 0 or sr == 0:
+        raise FileNotLoadedError(f"empty or invalid wav: {path!r}")
+    return audio, int(sr)
+
+
+def load_flac(path: str, mono: str = "mean", scaling: str = "phase") -> tuple[np.ndarray, int]:
+    """Load a FLAC file -> (float64 mono samples, sample_rate).
+
+    scaling="phase": 1/32768 integer scaling for 16-bit content (reference
+    phase/impl.go:375). scaling="mel": 1/65536 (reference mel/impl.go:290).
+    """
+    from . import flac as flacdec
+    try:
+        audio, sr = flacdec.read_flac(path)
+    except FileNotFoundError as e:
+        raise FileNotLoadedError(f"could not load flac {path!r}: {e}") from e
+    except Exception as e:
+        raise FileNotLoadedError(f"could not decode flac {path!r}: {e}") from e
+    audio = _to_mono(_to_float(audio), mono)
+    if audio.size == 0 or sr == 0:
+        raise FileNotLoadedError(f"empty or invalid flac: {path!r}")
+    if scaling == "mel":
+        audio = audio * 0.5
+    return audio, int(sr)
+
+
+def save_wav(path: str, audio: np.ndarray, sample_rate: int, clip: bool = True) -> None:
+    """Save mono 16-bit PCM WAV. Clips to [-1, 1] like the port
+    (/root/reference/phase.py:592-605); float->int16 uses libsndfile's
+    scale-by-32768 with saturation."""
+    audio = np.asarray(audio, dtype=np.float64)
+    if clip:
+        audio = np.clip(audio, -1.0, 1.0)
+    pcm = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
+    wavfile.write(path, int(sample_rate), pcm)

@@ -1,0 +1,202 @@
+"""Spectrogram <-> PNG image codecs with embedded float16 metadata.
+
+The PNG *is* the reference's persistence/checkpoint format (SURVEY.md §5):
+reconstruction parameters (min/max, a samples-per-column ratio for length
+recovery, and the sample rate) are packed as float16 bytes into the blue
+channel of column x=0 at the high-y end, so they sit at the top-left corner
+after the y-reverse flip.
+
+Two metadata layouts exist in the reference and are mutually incompatible:
+- ``layout="go"`` (canonical): mel images use 8 bytes [max, min, samples, sr]
+  with a GLOBAL min/max (/root/reference/mel/impl.go:127-193); phase images use
+  16 bytes [max0, max1, 0, min0, min1, 0, samples, sr] with PER-CHANNEL min/max
+  and B = -val0 conjugate hint (/root/reference/phase/impl.go:168-278).
+- ``layout="py"``: the Python port's 12-byte phase layout
+  [max0, max1, min0, min1, samples, sr], B left at 0
+  (/root/reference/phase.py:643-747).
+
+Quantization matches Go's ``uint8(int(maxVal*val))``: truncation toward zero
+with modulo-256/65536 wraparound for the (negative) blue hint values.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .float16meta import pack_floats, unpack_floats
+from .pngcodec import read_png, write_png
+
+GO_PHASE_META_BYTES = 16
+PY_PHASE_META_BYTES = 12
+MEL_META_BYTES = 8
+
+
+def _quantize(vals: np.ndarray, max_val: int) -> np.ndarray:
+    """uint8(int(max_val * val)) for val in [0, 1]: truncation, clipped."""
+    q = np.trunc(max_val * vals)
+    return np.clip(q, 0, max_val)
+
+
+def _quantize_wrap(vals: np.ndarray, max_val: int) -> np.ndarray:
+    """Go's unsigned conversion of possibly-negative ints: truncate toward
+    zero, then wrap modulo max_val+1 (two's complement low bits)."""
+    q = np.trunc(max_val * vals).astype(np.int64)
+    return q & max_val
+
+
+def save_mel_image(path: str, spec: np.ndarray, y_reverse: bool,
+                   samples_in_mel: float, sample_rate: float) -> None:
+    """Write a mel spectrogram [F, num_mels, 2] as 8-bit RGBA PNG
+    (reference ``dumpimage``: /root/reference/mel/impl.go:127-193)."""
+    spec = np.asarray(spec, dtype=np.float64)
+    n_frames, mels, _ = spec.shape
+    mgc_max = float(spec.max())
+    mgc_min = float(spec.min())
+    rng = mgc_max - mgc_min
+    norm = (spec - mgc_min) / rng if rng > 0 else np.full_like(spec, 0.5)
+
+    img = np.zeros((mels, n_frames, 4), dtype=np.uint8)
+    # image[y, x] = spec[x, y] (Go buf[y + x*mels] layout, mel/impl.go:160)
+    img[:, :, 0] = _quantize(norm[:, :, 0].T, 255).astype(np.uint8)
+    img[:, :, 1] = _quantize(norm[:, :, 1].T, 255).astype(np.uint8)
+    img[:, :, 3] = 255
+    meta = pack_floats([mgc_max, mgc_min, samples_in_mel, sample_rate])
+    meta_start = mels - len(meta)
+    img[meta_start:, 0, 2] = np.frombuffer(meta, dtype=np.uint8)
+    if y_reverse:
+        img = img[::-1, :, :]
+    write_png(path, img)
+
+
+def load_mel_image(path: str, y_reverse: bool) -> tuple[np.ndarray, float, float]:
+    """Read a mel PNG -> (spec [F, num_mels, 2], samples, sample_rate)
+    (reference ``loadpng``: /root/reference/mel/impl.go:52-118), including the
+    legacy guard ``if max == samples_in_mel: samples_in_mel = 0``."""
+    img = read_png(path)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if y_reverse:
+        img = img[::-1, :, :]
+    mels, n_frames = img.shape[0], img.shape[1]
+    to8 = (lambda v: (v >> 8).astype(np.uint8)) if img.dtype == np.uint16 else (lambda v: v)
+    meta_start = mels - MEL_META_BYTES
+    meta = bytes(to8(img[meta_start:, 0, 2]).tolist())
+    mgc_max, mgc_min, samples_in_mel, sr = unpack_floats(meta, 4)
+    if mgc_max == samples_in_mel:
+        samples_in_mel = 0.0  # legacy guard (mel/impl.go:105-107)
+    val0 = to8(img[:, :, 0]).astype(np.float64) / 255.0
+    val1 = to8(img[:, :, 1]).astype(np.float64) / 255.0
+    spec = np.stack([val0.T, val1.T], axis=-1)  # [F, mels, 2]
+    spec = spec * (mgc_max - mgc_min) + mgc_min
+    return spec, samples_in_mel * n_frames, sr
+
+
+def save_phase_image(path: str, spec: np.ndarray, y_reverse: bool,
+                     samples_in_mel: float, sample_rate: float,
+                     ihs_passes: int = 0, hdr: bool = False,
+                     layout: str = "go") -> None:
+    """Write a phase spectrogram [F, num_freqs, 2] as PNG.
+
+    layout="go": 16-byte metadata, B = -val0 hint, RGBA (NRGBA/NRGBA64 parity,
+    /root/reference/phase/impl.go:168-278).
+    layout="py": 12-byte metadata, B = 0, RGB (/root/reference/phase.py:643-747).
+    """
+    spec = np.asarray(spec, dtype=np.float64)
+    for _ in range(ihs_passes):
+        spec = np.arcsinh(spec)
+    n_frames, nf, _ = spec.shape
+    maxs = spec.max(axis=(0, 1))  # per-channel (phase/impl.go:198-212)
+    mins = spec.min(axis=(0, 1))
+    rng = maxs - mins
+    norm = np.where(rng > 0, (spec - mins) / np.where(rng > 0, rng, 1.0), 0.5)
+
+    max_val = 65535 if hdr else 255
+    dtype = np.uint16 if hdr else np.uint8
+    channels = 4 if layout == "go" else 3
+    img = np.zeros((nf, n_frames, channels), dtype=dtype)
+    img[:, :, 0] = _quantize(norm[:, :, 0].T, max_val).astype(dtype)
+    img[:, :, 1] = _quantize(norm[:, :, 1].T, max_val).astype(dtype)
+    if layout == "go":
+        # blue = -val0 with Go's wrapping conversion (phase/impl.go:229,256)
+        img[:, :, 2] = _quantize_wrap(-norm[:, :, 0].T, max_val).astype(dtype)
+        img[:, :, 3] = max_val
+        meta = pack_floats([maxs[0], maxs[1], 0.0, mins[0], mins[1], 0.0,
+                            samples_in_mel, sample_rate])
+    elif layout == "py":
+        meta = pack_floats([maxs[0], maxs[1], mins[0], mins[1],
+                            samples_in_mel, sample_rate])
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    meta_start = nf - len(meta)
+    # metadata byte values 0-255 stored directly, even in 16-bit images
+    # (phase/impl.go:239, phase.py:714)
+    img[meta_start:, 0, 2] = np.frombuffer(meta, dtype=np.uint8).astype(dtype)
+    if y_reverse:
+        img = img[::-1, :, :]
+    write_png(path, img)
+
+
+def _detect_phase_layout(img: np.ndarray) -> str:
+    """Heuristic layout detection: the Go layout has float16-zero placeholder
+    bytes at offsets 4:6 and 10:12 of its 16-byte block."""
+    nf = img.shape[0]
+    blue = img[:, 0, 2]
+    if img.dtype == np.uint16:
+        blue = blue & 0xFF
+    else:
+        blue = blue.astype(np.uint16)
+    tail = blue[nf - GO_PHASE_META_BYTES:].tolist()
+    if tail[4] == 0 and tail[5] == 0 and tail[10] == 0 and tail[11] == 0:
+        return "go"
+    return "py"
+
+
+def load_phase_image(path: str, y_reverse: bool, ihs_passes: int = 0,
+                     hdr: bool = False, layout: str = "auto"
+                     ) -> tuple[np.ndarray, float, float, int]:
+    """Read a phase PNG -> (spec [F, num_freqs, 2], samples, sample_rate,
+    num_freqs). Reference: /root/reference/phase/impl.go:51-153 (Go layout) and
+    /root/reference/phase.py:750-852 (Python layout)."""
+    img = read_png(path)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if y_reverse:
+        img = img[::-1, :, :]
+    nf, n_frames = img.shape[0], img.shape[1]
+    if layout == "auto":
+        layout = _detect_phase_layout(img)
+
+    if hdr:
+        # HDR: 16-bit samples; metadata stored as low byte (phase/impl.go:91-93)
+        if img.dtype != np.uint16:
+            raise ValueError("expected 16-bit PNG for HDR load")
+        blue_bytes = (img[:, 0, 2] & 0xFF).astype(np.uint8)
+        max_val = 65535.0
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+    else:
+        if img.dtype == np.uint16:
+            img8 = (img >> 8).astype(np.uint8)
+        else:
+            img8 = img
+        blue_bytes = img8[:, 0, 2]
+        max_val = 255.0
+        r = img8[:, :, 0].astype(np.float64)
+        g = img8[:, :, 1].astype(np.float64)
+
+    if layout == "go":
+        meta = bytes(blue_bytes[nf - GO_PHASE_META_BYTES:].tolist())
+        vals = unpack_floats(meta, 8)
+        max0, max1, _, min0, min1, _, samples_in_mel, sr = vals
+    else:
+        meta = bytes(blue_bytes[nf - PY_PHASE_META_BYTES:].tolist())
+        vals = unpack_floats(meta, 6)
+        max0, max1, min0, min1, samples_in_mel, sr = vals
+
+    val0 = r / max_val
+    val1 = g / max_val
+    spec = np.stack([val0.T, val1.T], axis=-1)  # [F, nf, 2]
+    spec[:, :, 0] = spec[:, :, 0] * (max0 - min0) + min0
+    spec[:, :, 1] = spec[:, :, 1] * (max1 - min1) + min1
+    for _ in range(ihs_passes):
+        spec = np.sinh(spec)
+    return spec, samples_in_mel * n_frames, sr, nf

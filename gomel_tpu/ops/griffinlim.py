@@ -1,0 +1,79 @@
+"""Griffin-Lim phase reconstruction — device op.
+
+TPU-native re-design of the reference's iterative ISTFT
+(/root/reference/mel/mel.go:76-139). The reference loops per frame with full
+complex FFTs; analysis of its update (see below) lets the TPU version run the
+whole spectrogram batched in rfft space with the iteration as a
+``lax.fori_loop`` whose carry (the signal) stays HBM-resident.
+
+Exact-behavior analysis of the reference loop (mel/mel.go:85-136):
+- The spectrogram state enters as ``undospectrum`` output: real values, bins
+  0..N/2-1 from channel 0, bins N/2..N-1 from channel 1 reversed
+  (mel/impl.go:386-408).
+- Each iteration sets ``spec[j] = |spec[j]| * e^{i*phase(FFT(w*frame)[j])}`` and
+  then FORCES conjugate symmetry for j in [1, N/2) (mel/mel.go:105-108). The
+  upper-half magnitudes are therefore overwritten by mirrored lower-half ones
+  before they are ever used by the IFFT — with one exception: bin N/2 (never
+  touched by the symmetry loop) keeps channel 1's last-bin magnitude.
+- Magnitudes are consequently CONSTANT across iterations: |spec| after the
+  update equals |spec| before it.
+
+So the exact equivalent is: fixed half-magnitudes
+    mag[k] = |ch0[k]| for k in [0, N/2),  mag[N/2] = |ch1[N/2-1]|
+and per iteration
+    phase <- angle(rfft(window * frames(signal)))
+    signal <- overlap_add(irfft(mag * e^{i*phase}) * window)
+with NO window-sum normalization (commented out in the reference,
+mel/mel.go:113,127-132) and uniform-[0,1) random initialization
+(mel/mel.go:81-83; the reference uses unseeded math/rand — we take an explicit
+PRNG key, so parity is tolerance-based per SURVEY.md §5.4).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .stft import frame_signal, hann_window
+from .istft import overlap_add
+
+
+def griffin_lim_magnitudes(linear2: jax.Array) -> jax.Array:
+    """Half-spectrum magnitudes [F, N/2+1] from a 2-channel linear spectrogram
+    [F, N/2, 2] (the ``undospectrum`` layout, mel/impl.go:386-408)."""
+    mag_low = jnp.abs(linear2[..., 0])          # bins 0..N/2-1
+    mag_nyq = jnp.abs(linear2[:, -1:, 1])       # bin N/2 = |ch1[N/2-1]|
+    return jnp.concatenate([mag_low, mag_nyq], axis=1)
+
+
+def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
+                window: jax.Array | None = None,
+                init: jax.Array | None = None) -> jax.Array:
+    """Iterative phase reconstruction.
+
+    mag_half: [F, N/2+1] fixed half-spectrum magnitudes.
+    Returns signal [N + (F-1)*hop]. With n_iter=0 returns the random init,
+    matching the reference (mel/mel.go:85 loop never runs).
+    ``init`` overrides the random initial signal (used by equivalence tests).
+    """
+    F = mag_half.shape[0]
+    N = (mag_half.shape[1] - 1) * 2
+    dtype = mag_half.dtype
+    if window is None:
+        window = jnp.asarray(hann_window(N), dtype=dtype)
+    out_len = N + (F - 1) * hop
+    if init is not None:
+        sig0 = jnp.asarray(init, dtype=dtype)
+    else:
+        sig0 = jax.random.uniform(key, (out_len,), dtype=dtype)
+
+    def body(_, sig):
+        frames = frame_signal(sig, N, hop) * window
+        spec = jnp.fft.rfft(frames, axis=-1)
+        # unit phase; angle(0) = 0 -> unit 1 (matches cmplx.Rect(mag, Phase(0)))
+        a = jnp.abs(spec)
+        unit = jnp.where(a > 0, spec / jnp.where(a > 0, a, 1.0),
+                         jnp.ones((), dtype=spec.dtype))
+        rec = jnp.fft.irfft(mag_half.astype(dtype) * unit, n=N, axis=-1)
+        return overlap_add(rec.astype(dtype) * window, hop)
+
+    return jax.lax.fori_loop(0, n_iter, body, sig0, unroll=False)

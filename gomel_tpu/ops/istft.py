@@ -1,0 +1,79 @@
+"""Overlap-add iSTFT for TPU.
+
+TPU-native replacement for the reference's per-sample overlap-add loops:
+- direct iSTFT with window-sum normalization: /root/reference/phase/phase.go:93-133
+  (port: /root/reference/phase.py:184-213)
+- un-normalized overlap-add inside Griffin-Lim: /root/reference/mel/mel.go:111-135
+
+Design notes (TPU):
+- Overlap-add is computed as K shifted elementwise adds over hop-aligned chunks
+  (K = ceil(N/hop), static) — no scatter, no serial loop; XLA fuses the adds.
+- The window-sum normalization including the reference's 0.5*max stability
+  threshold and proportional edge fade is pure elementwise ``jnp.where``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def overlap_add(frames: jax.Array, hop: int) -> jax.Array:
+    """Sum overlapping frames: [F, N] -> [N + (F-1)*hop].
+
+    out[i*hop + j] += frames[i, j], vectorized as K shifted adds of hop-chunks.
+    """
+    F, N = frames.shape
+    K = -(-N // hop)  # ceil
+    pad_n = K * hop - N
+    fp = jnp.pad(frames, ((0, 0), (0, pad_n))).reshape(F, K, hop)
+    # out viewed as hop-rows: out_rows[i + k] += fp[i, k]
+    # Compute as sum over k of fp[:, k, :] placed at row offset k within
+    # a (F + K - 1)-row output: implemented with static pads (pure elementwise).
+    rows_out = F + K - 1
+    acc = jnp.zeros((rows_out, hop), dtype=frames.dtype)
+    for k in range(K):
+        acc = acc + jnp.pad(fp[:, k, :], ((k, rows_out - F - k), (0, 0)))
+    return acc.reshape(-1)[: N + (F - 1) * hop]
+
+
+def window_sum(window: jax.Array, n_frames: int, hop: int) -> jax.Array:
+    """Overlap-added sum of squared windows (reference: phase/phase.go:109)."""
+    w2 = (window * window)[None, :].repeat(n_frames, axis=0)
+    return overlap_add(w2, hop)
+
+
+def istft_direct(half_spec: jax.Array, hop: int, window: jax.Array) -> jax.Array:
+    """Direct (0-iteration) iSTFT with window-sum normalization.
+
+    half_spec: complex [F, N//2+1] rfft-layout spectrum.
+    Returns real signal [N + (F-1)*hop].
+
+    Reproduces /root/reference/phase/phase.go:93-133: overlap-add of
+    real(IFFT(frame)) * window with window-square accumulation, then
+    normalization where window_sum > 0.5*max, proportional fade where
+    1e-21 < window_sum <= threshold.
+    """
+    F = half_spec.shape[0]
+    N = (half_spec.shape[1] - 1) * 2
+    frames = jnp.fft.irfft(half_spec, n=N, axis=-1).astype(window.dtype)
+    sig = overlap_add(frames * window, hop)
+    wsum = window_sum(window, F, hop)
+    threshold = 0.5 * jnp.max(wsum)
+    return normalize_by_window_sum(sig, wsum, threshold)
+
+
+def normalize_by_window_sum(sig: jax.Array, wsum: jax.Array,
+                            threshold: jax.Array) -> jax.Array:
+    """Stability-thresholded window-sum normalization
+    (reference: phase/phase.go:121-130, port: phase.py:207-213).
+
+    - wsum >  threshold: sig / wsum
+    - 1e-21 < wsum <= threshold: sig / wsum * (wsum / threshold) == sig / threshold
+    - wsum <= 1e-21: untouched
+    """
+    safe = jnp.where(wsum > 1e-21, wsum, 1.0)
+    normalized = sig / safe
+    faded = normalized * (wsum / threshold)
+    out = jnp.where(wsum > threshold, normalized,
+                    jnp.where(wsum > 1e-21, faded, sig))
+    return out

@@ -1,0 +1,79 @@
+"""Mel spectrogram codec — device ops.
+
+TPU-native re-design of the reference mel codec:
+- encode: /root/reference/mel/mel.go:46-74 (STFT -> channel extraction ->
+  ``domel`` filterbank -> log-normalize)
+- decode: /root/reference/mel/mel.go:142-152 (denormalize -> ``undomel`` ->
+  ``undospectrum`` -> Griffin-Lim)
+
+Channel-extraction equivalence (mel/mel.go:54-66): for real input,
+``|S[j]|`` (ch0) and ``|S[N-j-1]| = |S[j+1]|`` (ch1) for j in [0, N/2) — i.e.
+the two channels are the rfft magnitude vector offset by one bin. The filterbank
+is a precomputed matrix (core/filterbank.py) applied as one MXU matmul over all
+frames and both channels at once.
+
+Layout: [frames, num_mels, 2] channel-last.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .stft import stft, hann_window
+from .griffinlim import griffin_lim, griffin_lim_magnitudes
+
+
+def spectral_normalize(x: jax.Array) -> jax.Array:
+    """clamp below at 1e-5, then natural log (reference: mel/impl.go:410-419)."""
+    return jnp.log(jnp.maximum(x, 1e-5))
+
+
+def spectral_denormalize(x: jax.Array) -> jax.Array:
+    """exp (reference: mel/impl.go:421-427)."""
+    return jnp.exp(x)
+
+
+def mel_encode(x_padded: jax.Array, num_mels: int, frame_len: int, hop: int,
+               fwd_weights: jax.Array,
+               window: jax.Array | None = None) -> jax.Array:
+    """Audio -> log-mel spectrogram [F, num_mels, 2].
+
+    fwd_weights: [num_mels, N/2] filterbank matrix (core.filterbank.mel_weights).
+    """
+    spec = stft(x_padded, frame_len, hop, window)      # [F, N/2+1] complex
+    mags = jnp.abs(spec)                               # [F, N/2+1]
+    ch = jnp.stack([mags[:, :-1], mags[:, 1:]], axis=-1)  # [F, N/2, 2]
+    # One MXU matmul for both channels: [F, N/2, 2] x [num_mels, N/2]
+    mel = jnp.einsum("fbc,mb->fmc", ch, fwd_weights.astype(ch.dtype),
+                     preferred_element_type=ch.dtype)
+    return spectral_normalize(mel)
+
+
+def mel_to_linear(logmel: jax.Array, inv_weights: jax.Array,
+                  tune_mul: float = 1.0, tune_add: float = 0.0) -> jax.Array:
+    """log-mel [F, num_mels, 2] -> linear 2-channel spectrum [F, N/2, 2].
+
+    denormalize (exp) -> ``undomel`` matmul -> TuneMul/TuneAdd undo
+    (reference: mel/mel.go:142-147, mel/impl.go:386-408: (v - TuneAdd)/TuneMul).
+    """
+    mel = spectral_denormalize(logmel)
+    lin = jnp.einsum("fmc,bm->fbc", mel, inv_weights.astype(mel.dtype),
+                     preferred_element_type=mel.dtype)
+    if tune_add != 0.0 or tune_mul != 1.0:
+        lin = (lin - jnp.asarray(tune_add, lin.dtype)) / jnp.asarray(tune_mul, lin.dtype)
+    return lin
+
+
+def mel_decode(logmel: jax.Array, frame_len: int, hop: int,
+               inv_weights: jax.Array, n_iter: int, key: jax.Array,
+               tune_mul: float = 1.0, tune_add: float = 0.0,
+               window: jax.Array | None = None) -> jax.Array:
+    """log-mel [F, num_mels, 2] -> audio via Griffin-Lim (reference:
+    mel/mel.go:142-152). Output length N + (F-1)*hop, un-normalized overlap-add
+    amplitude exactly like the reference (window-sum division is commented out
+    there, mel/mel.go:127-132)."""
+    lin = mel_to_linear(logmel, inv_weights, tune_mul, tune_add)
+    mag = griffin_lim_magnitudes(lin)
+    if window is None:
+        window = jnp.asarray(hann_window(frame_len), dtype=logmel.dtype)
+    return griffin_lim(mag, hop, n_iter, key, window)

@@ -1,0 +1,186 @@
+"""High-level mel codec pipeline.
+
+TPU-native equivalent of the reference ``Mel`` API
+(/root/reference/mel/mel.go): host-side orchestration (audio files, PNG
+codec, length math) around jitted device kernels (ops/mel_ops.py).
+
+Reference method map:
+- ToMel        -> Mel.to_mel / Mel.encode        (mel/mel.go:46-74)
+- FromMel      -> Mel.from_mel / Mel.decode      (mel/mel.go:142-152)
+- ToMelWav     -> Mel.to_mel_wav                 (mel/mel.go:194-209)
+- ToMelFlac    -> Mel.to_mel_flac                (mel/mel.go:176-191)
+- ToWavPng     -> Mel.to_wav_png                 (mel/mel.go:211-238)
+- Image        -> Mel.image                      (mel/mel.go:171-173, impl.go:16-44)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import MelConfig
+from ..core.filterbank import mel_weights, inverse_mel_weights
+from ..core.framing import is_padded, pad_length
+from ..io import audio as audio_io
+from ..io import imagecodec
+from ..ops.mel_ops import mel_encode, mel_decode
+from ..ops.stft import hann_window
+
+
+@functools.partial(jax.jit, static_argnames=("num_mels", "frame_len", "hop"))
+def _encode_jit(x, fwd_w, window, num_mels, frame_len, hop):
+    return mel_encode(x, num_mels, frame_len, hop, fwd_w, window)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("frame_len", "hop", "n_iter",
+                                    "tune_mul", "tune_add"))
+def _decode_jit(logmel, inv_w, window, key, frame_len, hop, n_iter,
+                tune_mul, tune_add):
+    return mel_decode(logmel, frame_len, hop, inv_w, n_iter, key,
+                      tune_mul, tune_add, window)
+
+
+class Mel:
+    """Mel spectrogram codec (reference parity: /root/reference/mel/mel.go).
+
+    Spectrogram layout: flattened [frames * num_mels, 2] float arrays at the
+    public boundary (reference-compatible); use ``encode``/``decode`` for the
+    natural [frames, num_mels, 2] device-array form.
+    """
+
+    def __init__(self, config: MelConfig | None = None, dtype=jnp.float32,
+                 **overrides):
+        if config is None:
+            config = MelConfig(**overrides)
+        elif overrides:
+            import dataclasses
+            config = dataclasses.replace(config, **overrides)
+        self.config = config
+        self.dtype = dtype
+        self._fwd = None
+        self._inv = None
+        self._window = None
+
+    # -- cached device constants ------------------------------------------
+    def _weights(self):
+        if self._fwd is None:
+            c = self.config
+            self._fwd = jnp.asarray(
+                mel_weights(c.n_bins, c.num_mels, c.mel_fmin, c.mel_fmax),
+                dtype=self.dtype)
+            self._inv = jnp.asarray(
+                inverse_mel_weights(c.n_bins, c.num_mels, c.mel_fmin, c.mel_fmax),
+                dtype=self.dtype)
+        return self._fwd, self._inv
+
+    def _win(self):
+        if self._window is None:
+            self._window = jnp.asarray(hann_window(self.config.resolut),
+                                       dtype=self.dtype)
+        return self._window
+
+    # -- device-level API ---------------------------------------------------
+    def encode(self, x) -> jax.Array:
+        """Padded-or-raw audio -> log-mel [F, num_mels, 2] (device array).
+
+        Applies reference padding (mel/impl.go:429-455) host-side first.
+        """
+        x = np.asarray(x)
+        padded = pad_length(len(x), self.config.window)
+        if padded != len(x):
+            x = np.pad(x, (0, padded - len(x)))
+        fwd, _ = self._weights()
+        c = self.config
+        return _encode_jit(jnp.asarray(x, dtype=self.dtype), fwd, self._win(),
+                           c.num_mels, c.resolut, c.window)
+
+    def decode(self, logmel, seed: int = 0) -> jax.Array:
+        """log-mel [F, num_mels, 2] -> audio (device array), Griffin-Lim.
+
+        The reference initializes Griffin-Lim from unseeded global rand
+        (mel/mel.go:81-83); we use an explicit PRNG seed for reproducibility.
+        """
+        _, inv = self._weights()
+        c = self.config
+        logmel = jnp.asarray(logmel, dtype=self.dtype)
+        key = jax.random.PRNGKey(seed)
+        return _decode_jit(logmel, inv, self._win(), key, c.resolut, c.window,
+                           c.griffin_lim_iterations, c.tune_mul, c.tune_add)
+
+    # -- reference-layout API ------------------------------------------------
+    def to_mel(self, buf) -> np.ndarray:
+        """Audio buffer -> flattened [F*num_mels, 2] float64 log-mel
+        (reference ToMel, mel/mel.go:46-74)."""
+        out = np.asarray(self.encode(buf), dtype=np.float64)
+        return out.reshape(-1, 2)
+
+    def from_mel(self, ospectrum, seed: int = 0) -> np.ndarray:
+        """Flattened [F*num_mels, 2] log-mel -> audio float64
+        (reference FromMel, mel/mel.go:142-152)."""
+        spec = np.asarray(ospectrum, dtype=np.float64).reshape(
+            -1, self.config.num_mels, 2)
+        return np.asarray(self.decode(spec, seed=seed), dtype=np.float64)
+
+    def image(self, buf) -> np.ndarray:
+        """In-memory uint16 image R | G<<8 with per-channel min/max
+        (reference Image/dumpbuffer, mel/impl.go:16-44). Returns [F*num_mels]
+        uint16 in the reference's y+x*mels order."""
+        spec = np.asarray(buf, dtype=np.float64).reshape(
+            -1, self.config.num_mels, 2)
+        maxs = spec.max(axis=(0, 1))
+        mins = spec.min(axis=(0, 1))
+        rng = np.where(maxs > mins, maxs - mins, 1.0)
+        norm = (spec - mins) / rng
+        v0 = np.trunc(255 * norm[:, :, 0]).astype(np.int64)
+        v1 = np.trunc(255 * norm[:, :, 1]).astype(np.int64)
+        out = (v0 & 0xFFFF) | ((v1 << 8) & 0xFFFF)
+        return out.astype(np.uint16).reshape(-1)
+
+    # -- file API -------------------------------------------------------------
+    def _samples_in_mel(self, input_len: int, n_frames: int) -> float:
+        # float64(len(buf)*NumMels)/float64(len(ospectrum)) with the flattened
+        # spectrogram (mel/mel.go:188,206) == len(buf)/n_frames
+        return float(input_len * self.config.num_mels) / float(
+            n_frames * self.config.num_mels)
+
+    def _to_mel_file(self, buf: np.ndarray, sr: int, output_file: str) -> None:
+        spec = np.asarray(self.encode(buf), dtype=np.float64)
+        imagecodec.save_mel_image(
+            output_file, spec, self.config.y_reverse,
+            self._samples_in_mel(len(buf), spec.shape[0]), float(sr))
+
+    def to_mel_wav(self, input_file: str, output_file: str) -> None:
+        """WAV -> mel PNG (reference ToMelWav, mel/mel.go:194-209)."""
+        buf, sr = audio_io.load_wav(input_file, mono="left")
+        self._to_mel_file(buf, sr, output_file)
+
+    def to_mel_flac(self, input_file: str, output_file: str) -> None:
+        """FLAC -> mel PNG (reference ToMelFlac, mel/mel.go:176-191; note the
+        mel package's 1/65536 FLAC scaling, mel/impl.go:290)."""
+        buf, sr = audio_io.load_flac(input_file, mono="left", scaling="mel")
+        self._to_mel_file(buf, sr, output_file)
+
+    def to_wav_png(self, input_file: str, output_file: str, seed: int = 0) -> int:
+        """mel PNG -> WAV (reference ToWavPng, mel/mel.go:211-238).
+
+        VolumeBoost is added to the LOG-domain values before decoding
+        (mel/mel.go:218-221); output is trimmed via the padding detector and
+        the embedded sample rate is used when none is configured. Returns the
+        sample rate written."""
+        spec, samples, sr = imagecodec.load_mel_image(
+            input_file, self.config.y_reverse)
+        if self.config.volume_boost != 0.0:
+            spec = spec + self.config.volume_boost
+        wave = np.asarray(self.decode(spec, seed=seed), dtype=np.float64)
+        samples_i = int(samples)
+        if samples_i > 0 and is_padded(samples_i, len(wave), self.config.window) \
+                and len(wave) > samples_i:
+            wave = wave[:samples_i]
+        out_sr = self.config.sample_rate
+        if sr != 0 and out_sr == 0:
+            out_sr = int(sr)
+        audio_io.save_wav(output_file, wave, out_sr)
+        return out_sr

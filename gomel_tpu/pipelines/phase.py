@@ -1,0 +1,212 @@
+"""High-level phase codec pipeline.
+
+TPU-native equivalent of the reference ``Phase`` API
+(/root/reference/phase/phase.go and the Python port /root/reference/phase.py).
+
+Reference method map:
+- ToPhase        -> Phase.to_phase / Phase.encode    (phase/phase.go:41-70)
+- FromPhase      -> Phase.from_phase / Phase.decode  (phase/phase.go:136-153)
+- ToPhaseWav     -> Phase.to_phase_wav               (phase/phase.go:221-244)
+- ToPhaseFlac    -> Phase.to_phase_flac              (phase/phase.go:195-218)
+- ToWavPng       -> Phase.to_wav_png                 (phase/phase.go:246-275)
+- to_tensor_flac -> Phase.to_tensor_flac             (phase.py:291-318)
+
+Behavioral switches where Go and the Python port disagree (SURVEY.md §5):
+- ``metadata_layout``: "go" = 16-byte phase metadata (canonical), "py" = the
+  port's incompatible 12-byte layout.
+- ``length_mode``: the samples_in_mel numerator uses the PRE-upsample length in
+  Go (phase/phase.go:202-215) but the POST-upsample length in the port
+  (phase.py:239-249). "go" is the default.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import (PhaseConfig, num_freqs_for_sample_rate, pad_shift)
+from ..core.framing import is_padded, pad_length
+from ..io import audio as audio_io
+from ..io import imagecodec
+from ..ops.phase_ops import phase_encode, phase_decode
+from ..ops.resample import zero_stuff_upsample
+from ..ops.stft import hann_window
+
+
+@functools.partial(jax.jit, static_argnames=("num_freqs", "frame_len", "hop"))
+def _encode_jit(x, window, num_freqs, frame_len, hop):
+    return phase_encode(x, num_freqs, frame_len, hop, window)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("frame_len", "hop", "volume_boost"))
+def _decode_jit(spec2, window, frame_len, hop, volume_boost):
+    return phase_decode(spec2, frame_len, hop, volume_boost, window)
+
+
+class Phase:
+    """Phase-preserving spectrogram codec (reference parity:
+    /root/reference/phase/phase.go, /root/reference/phase.py)."""
+
+    def __init__(self, config: PhaseConfig | None = None, dtype=jnp.float32,
+                 metadata_layout: str = "go", length_mode: str = "go",
+                 sample_rate: int | None = None, **overrides):
+        if config is None:
+            if sample_rate is not None:
+                config = PhaseConfig.for_sample_rate(sample_rate, **overrides)
+            else:
+                config = PhaseConfig(**overrides)
+        elif overrides:
+            import dataclasses
+            config = dataclasses.replace(config, **overrides)
+        self.config = config
+        self.dtype = dtype
+        self.metadata_layout = metadata_layout
+        self.length_mode = length_mode
+        self._window = None
+
+    def reconfigure_sr(self, sample_rate: int) -> None:
+        """Re-derive num_freqs from a sample rate
+        (reference: /root/reference/phase.py:49-61). Raises
+        UnsupportedSampleRateError outside the two families."""
+        import dataclasses
+        nf = num_freqs_for_sample_rate(sample_rate, hdr=self.config.hdr)
+        self.config = dataclasses.replace(
+            self.config, num_freqs=nf, sample_rate=sample_rate)
+
+    def _win(self):
+        if self._window is None:
+            self._window = jnp.asarray(hann_window(self.config.resolut),
+                                       dtype=self.dtype)
+        return self._window
+
+    # -- device-level API ----------------------------------------------------
+    def encode(self, x) -> jax.Array:
+        """Audio -> phase spectrogram [F, num_freqs, 2] (device array); applies
+        reference padding host-side (phase/impl.go:424-450)."""
+        x = np.asarray(x)
+        padded = pad_length(len(x), self.config.window)
+        if padded != len(x):
+            x = np.pad(x, (0, padded - len(x)))
+        c = self.config
+        return _encode_jit(jnp.asarray(x, dtype=self.dtype), self._win(),
+                           c.num_freqs, c.resolut, c.window)
+
+    def decode(self, spec2) -> jax.Array:
+        """Phase spectrogram [F, num_freqs, 2] -> audio (device array)."""
+        c = self.config
+        spec2 = jnp.asarray(spec2, dtype=self.dtype)
+        return _decode_jit(spec2, self._win(), c.resolut, c.window,
+                           float(c.volume_boost))
+
+    # -- reference-layout API --------------------------------------------------
+    def to_phase(self, buf) -> np.ndarray:
+        """Audio -> flattened [F*num_freqs, 2] float64
+        (reference ToPhase, phase/phase.go:41-70)."""
+        return np.asarray(self.encode(buf), dtype=np.float64).reshape(-1, 2)
+
+    def from_phase(self, ospectrum) -> np.ndarray:
+        """Flattened [F*num_freqs, 2] -> audio float64
+        (reference FromPhase, phase/phase.go:136-153)."""
+        spec = np.asarray(ospectrum, dtype=np.float64).reshape(
+            -1, self.config.num_freqs, 2)
+        return np.asarray(self.decode(spec), dtype=np.float64)
+
+    def image(self, buf) -> np.ndarray:
+        """uint16 R|G<<8 preview image (reference Image/dumpbuffer,
+        phase/impl.go:15-43)."""
+        spec = np.asarray(buf, dtype=np.float64).reshape(
+            -1, self.config.num_freqs, 2)
+        maxs = spec.max(axis=(0, 1))
+        mins = spec.min(axis=(0, 1))
+        rng = np.where(maxs > mins, maxs - mins, 1.0)
+        norm = (spec - mins) / rng
+        v0 = np.trunc(255 * norm[:, :, 0]).astype(np.int64)
+        v1 = np.trunc(255 * norm[:, :, 1]).astype(np.int64)
+        return ((v0 & 0xFFFF) | ((v1 << 8) & 0xFFFF)).astype(np.uint16).reshape(-1)
+
+    # -- file API ----------------------------------------------------------------
+    def _encode_file(self, buf: np.ndarray, sr: int, output_file: str,
+                     update_sr_after_upsample: bool = False) -> None:
+        original_pre = len(buf)
+        zp, zs = pad_shift(int(sr))
+        if zp > 0:
+            buf = zero_stuff_upsample(buf, zp, zs)
+            if update_sr_after_upsample:
+                # port behavior for FLAC: scale the recorded rate
+                # (phase.py:274-275)
+                sr = int(sr * len(buf) / original_pre)
+        original = original_pre if self.length_mode == "go" else len(buf)
+        spec = np.asarray(self.encode(buf), dtype=np.float64)
+        n_frames = spec.shape[0]
+        # float64(originalLength*NumFreqs)/float64(len(ospectrum)) with the
+        # flattened spectrogram (phase/phase.go:215,241) == original/n_frames
+        samples_in_mel = float(original * self.config.num_freqs) / float(
+            n_frames * self.config.num_freqs)
+        imagecodec.save_phase_image(
+            output_file, spec, self.config.y_reverse, samples_in_mel,
+            float(sr), self.config.ihs_passes, self.config.hdr,
+            layout=self.metadata_layout)
+
+    def to_phase_wav(self, input_file: str, output_file: str) -> None:
+        """WAV -> phase PNG with zero-stuff upsampling
+        (reference ToPhaseWav, phase/phase.go:221-244)."""
+        buf, sr = audio_io.load_wav(
+            input_file, mono="left" if self.metadata_layout == "go" else "mean")
+        if self.config.sample_rate == 0 and self.metadata_layout == "py":
+            self.reconfigure_sr(sr)
+        self._encode_file(buf, sr, output_file)
+
+    def to_phase_flac(self, input_file: str, output_file: str) -> None:
+        """FLAC -> phase PNG (reference ToPhaseFlac, phase/phase.go:195-218;
+        phase FLAC scaling is 1/32768, phase/impl.go:375)."""
+        buf, sr = audio_io.load_flac(
+            input_file, mono="left" if self.metadata_layout == "go" else "mean",
+            scaling="phase")
+        if self.config.sample_rate == 0 and self.metadata_layout == "py":
+            self.reconfigure_sr(sr)
+        self._encode_file(buf, sr, output_file,
+                          update_sr_after_upsample=(self.length_mode == "py"))
+
+    def to_tensor(self, buf, sr: int) -> jax.Array:
+        """Audio buffer + rate -> device spectrogram [F, num_freqs, 2]: the
+        generalization of the port's ML-pipeline hook (phase.py:291-318) —
+        upsample + encode, no PNG round trip."""
+        zp, zs = pad_shift(int(sr))
+        if zp > 0:
+            buf = zero_stuff_upsample(np.asarray(buf), zp, zs)
+        return self.encode(buf)
+
+    def to_tensor_flac(self, input_file: str) -> np.ndarray:
+        """FLAC -> flattened [F*num_freqs, 2] spectrogram
+        (reference: phase.py:291-318)."""
+        buf, sr = audio_io.load_flac(input_file, mono="mean", scaling="phase")
+        if self.config.sample_rate == 0:
+            self.reconfigure_sr(sr)
+        return np.asarray(self.to_tensor(buf, sr),
+                          dtype=np.float64).reshape(-1, 2)
+
+    def to_wav_png(self, input_file: str, output_file: str) -> int:
+        """phase PNG -> WAV (reference ToWavPng, phase/phase.go:246-275).
+
+        Returns the sample rate written. Output rate is the family main rate
+        (48000/44100) when the object has none configured."""
+        spec, samples, sr, nf = imagecodec.load_phase_image(
+            input_file, self.config.y_reverse, self.config.ihs_passes,
+            self.config.hdr, layout="auto")
+        if nf != self.config.num_freqs:
+            # adopt the image's bin count (port behavior, phase.py:329)
+            import dataclasses
+            self.config = dataclasses.replace(self.config, num_freqs=nf)
+        wave = np.asarray(self.decode(spec), dtype=np.float64)
+        samples_i = int(samples)
+        if samples_i > 0 and is_padded(samples_i, len(wave), self.config.window) \
+                and len(wave) > samples_i:
+            wave = wave[:samples_i]
+        out_sr = self.config.sample_rate
+        if sr != 0 and out_sr == 0:
+            out_sr = self.config.family_main_rate
+        audio_io.save_wav(output_file, wave, out_sr)
+        return out_sr

@@ -1,0 +1,45 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64 enabled.
+
+The axon sitecustomize force-selects the TPU backend via
+``jax.config.update("jax_platforms", "axon,cpu")`` at interpreter start, so the
+usual JAX_PLATFORMS env var is ignored — we override the config after import.
+Multi-chip sharding tests run on the 8-device virtual CPU mesh
+(``--xla_force_host_platform_device_count``), per SURVEY.md §4.
+"""
+import os
+import sys
+import types
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+REFERENCE_DIR = "/root/reference"
+
+
+def load_reference_phase():
+    """Import the reference Python port (golden oracle) if present.
+
+    The reference imports soundfile, which is absent here — stub it; the
+    buffer-level APIs under test never touch it.
+    """
+    if not os.path.isdir(REFERENCE_DIR):
+        return None
+    if "soundfile" not in sys.modules:
+        sys.modules["soundfile"] = types.ModuleType("soundfile")
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    try:
+        import phase as reference_phase  # noqa: F401
+        return reference_phase
+    except Exception:
+        return None
