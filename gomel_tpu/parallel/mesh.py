@@ -1,0 +1,102 @@
+"""Device mesh construction and multi-host bring-up.
+
+The reference has no distributed components (SURVEY.md §2.6); this layer is the
+new first-class TPU subsystem mandated by BASELINE.json: a 2-D
+``('data', 'frame')`` mesh where utterance batches are data-parallel across the
+``data`` axis and long-form audio is frame-sharded across the ``frame`` axis
+(halo exchange in parallel/sharded.py). Collectives ride ICI within a slice and
+DCN across hosts via JAX's native partitioner — there is no NCCL/MPI analog.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+FRAME_AXIS = "frame"
+
+
+def make_mesh(data: Optional[int] = None, frame: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a ``(data, frame)`` mesh over ``devices`` (default: all devices).
+
+    ``data=None`` uses every device not consumed by the ``frame`` axis.
+    The frame axis is placed innermost (fastest-varying) so halo ``ppermute``
+    neighbors are physically adjacent on the ICI torus.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if frame <= 0 or n % frame != 0:
+        raise ValueError(f"frame axis size {frame} must divide device count {n}")
+    if data is None:
+        data = n // frame
+    if data * frame > n:
+        raise ValueError(f"mesh {data}x{frame} needs {data * frame} devices, have {n}")
+    dev_array = np.asarray(devices[: data * frame]).reshape(data, frame)
+    return Mesh(dev_array, (DATA_AXIS, FRAME_AXIS))
+
+
+def single_device_mesh() -> Mesh:
+    """1x1 mesh on the default device (useful to run sharded code paths
+    unchanged on one chip)."""
+    return make_mesh(data=1, frame=1, devices=jax.devices()[:1])
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a batch-leading array: batch split over 'data', replicated
+    over 'frame'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def batch_frame_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [batch, time/frames, ...]: batch over 'data', second axis
+    over 'frame'."""
+    return NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with env fallbacks.
+
+    Replaces the launcher+NCCL bootstrap a GPU framework would use; on TPU pods
+    the coordinator/process topology is discovered from the environment when
+    arguments are omitted. Safe to call once per process before any device op.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def is_multihost() -> bool:
+    return jax.process_count() > 1
+
+
+def virtual_cpu_devices(n: int = 8) -> None:
+    """Request ``n`` virtual CPU devices (test-only; must run before JAX init).
+
+    Mirrors the conftest setup (SURVEY.md §4): multi-chip sharding is validated
+    on a CPU-simulated mesh via ``--xla_force_host_platform_device_count``.
+    """
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n}"
+    )

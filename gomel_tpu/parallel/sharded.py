@@ -1,0 +1,356 @@
+"""Frame-sharded STFT / overlap-add / Griffin-Lim — the halo-exchange layer.
+
+The reference processes whole files on one CPU core; frames are independent in
+analysis and couple only ±1 analysis-window length in synthesis
+(/root/reference/phase/phase.go:102-112, mel/mel.go:111-125). That locality is
+exactly what makes long-form audio frame-shardable across chips (SURVEY.md
+§2.6, §5): each device owns a contiguous run of STFT frames, and the only
+communication is a one-frame-length halo at shard boundaries:
+
+- analysis (STFT): device d needs the first ``frame_len - hop`` samples of
+  device d+1's signal chunk  → one ``ppermute`` toward the LEFT neighbor.
+- synthesis (overlap-add): device d's last frames spill ``frame_len - hop``
+  output samples into device d+1's span → one ``ppermute`` toward the RIGHT
+  neighbor, added into the head.
+- the iSTFT window-sum stability threshold is GLOBAL (0.5 * max over the whole
+  signal, phase/phase.go:117) → one ``pmax`` over the frame axis.
+
+Everything runs under ``shard_map`` on a ``('data','frame')`` mesh: utterance
+batch over 'data', frames over 'frame'. Griffin-Lim keeps its signal carry
+shard-resident in HBM across ``fori_loop`` iterations; each iteration does the
+two halo exchanges and nothing else over ICI.
+
+Sharding plan (host-side math): with F real frames, K = ceil(frame_len/hop),
+the frame axis is padded to F_pad — a multiple of n_shards with
+F_pad >= F + K - 1 and per-shard frame count F_loc >= K - 1 — so that (a) all
+real signal lives inside the F_pad*hop-sample sharded buffer, (b) halos never
+span more than one neighbor. Fake frames are masked out of window sums and
+carry zero magnitude, so they contribute nothing.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.stft import frame_signal, hann_window
+from ..ops.istft import overlap_add, normalize_by_window_sum
+from ..ops.griffinlim import griffin_lim_magnitudes
+from ..ops.mel_ops import spectral_normalize, mel_to_linear
+from ..ops.phase_ops import grow_half_spectrum
+from .mesh import DATA_AXIS, FRAME_AXIS
+
+
+# ---------------------------------------------------------------------------
+# Host-side sharding plan
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FrameShardPlan:
+    """Static geometry of a frame-sharded run."""
+    frame_len: int
+    hop: int
+    n_shards: int
+    n_frames: int        # real frames F
+    n_frames_padded: int # F_pad (multiple of n_shards)
+    out_len: int         # real output length frame_len + (F-1)*hop
+
+    @property
+    def halo(self) -> int:
+        return self.frame_len - self.hop
+
+    @property
+    def frames_per_shard(self) -> int:
+        return self.n_frames_padded // self.n_shards
+
+    @property
+    def chunk(self) -> int:
+        """Signal samples owned per shard."""
+        return self.frames_per_shard * self.hop
+
+    @property
+    def sharded_signal_len(self) -> int:
+        return self.n_frames_padded * self.hop
+
+
+def plan_frame_sharding(n_frames: int, frame_len: int, hop: int,
+                        n_shards: int) -> FrameShardPlan:
+    """Compute the padded frame count for an even, halo-local sharding."""
+    if n_frames <= 0:
+        raise ValueError("need at least one frame")
+    k = -(-frame_len // hop)  # ceil
+    min_frames = max(n_frames + k - 1, n_shards * (k - 1), n_shards)
+    f_pad = -(-min_frames // n_shards) * n_shards
+    return FrameShardPlan(
+        frame_len=frame_len, hop=hop, n_shards=n_shards,
+        n_frames=n_frames, n_frames_padded=f_pad,
+        out_len=frame_len + (n_frames - 1) * hop,
+    )
+
+
+def pad_signal_for_plan(x, plan: FrameShardPlan):
+    """Zero-pad a [..., L] signal to the sharded buffer length."""
+    L = x.shape[-1]
+    target = plan.sharded_signal_len
+    if L > target:
+        raise ValueError(f"signal length {L} exceeds sharded buffer {target}")
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, target - L)]
+    return jnp.pad(x, pad)
+
+
+def pad_frames_for_plan(spec, plan: FrameShardPlan, axis: int = 1):
+    """Zero-pad the frame axis of a spectrogram to n_frames_padded."""
+    f = spec.shape[axis]
+    pad = [(0, 0)] * spec.ndim
+    pad[axis] = (0, plan.n_frames_padded - f)
+    return jnp.pad(spec, pad)
+
+
+# ---------------------------------------------------------------------------
+# Halo-exchange primitives (inside shard_map, axis=FRAME_AXIS)
+# ---------------------------------------------------------------------------
+
+def _pull_right_halo(x_loc: jax.Array, halo: int, n: int,
+                     axis_name: str) -> jax.Array:
+    """Fetch the first ``halo`` samples (last axis) of the RIGHT neighbor's
+    chunk; the last shard receives zeros (open boundary)."""
+    head = x_loc[..., :halo]
+    if n == 1:
+        return jnp.zeros_like(head)
+    return jax.lax.ppermute(head, axis_name,
+                            [(i, i - 1) for i in range(1, n)])
+
+
+def _push_tail_right(tail: jax.Array, n: int, axis_name: str) -> jax.Array:
+    """Send the overlap-add tail to the RIGHT neighbor; shard 0 receives
+    zeros (open boundary)."""
+    if n == 1:
+        return jnp.zeros_like(tail)
+    return jax.lax.ppermute(tail, axis_name,
+                            [(i, i + 1) for i in range(n - 1)])
+
+
+def _local_frame_mask(f_loc: int, n_frames: int, axis_name: str) -> jax.Array:
+    """[f_loc] bool mask: which local frames are real (global index < F)."""
+    shard = jax.lax.axis_index(axis_name)
+    gidx = shard * f_loc + jnp.arange(f_loc)
+    return gidx < n_frames
+
+
+# ---------------------------------------------------------------------------
+# Shard-local kernels (operate on one device's [B_loc, ...] block)
+# ---------------------------------------------------------------------------
+
+def _local_stft(x_loc, window, plan: FrameShardPlan):
+    """[B, chunk] local signal -> [B, F_loc, N/2+1] local rfft frames."""
+    halo = _pull_right_halo(x_loc, plan.halo, plan.n_shards, FRAME_AXIS)
+    x_ext = jnp.concatenate([x_loc, halo], axis=-1)
+    frames = jax.vmap(
+        lambda s: frame_signal(s, plan.frame_len, plan.hop))(x_ext)
+    return jnp.fft.rfft(frames * window, axis=-1)
+
+
+def _local_overlap_add(frames_windowed, plan: FrameShardPlan):
+    """[B, F_loc, N] windowed frames -> [B, chunk] with right-halo exchange."""
+    sig_ext = jax.vmap(lambda f: overlap_add(f, plan.hop))(frames_windowed)
+    body, tail = sig_ext[..., : plan.chunk], sig_ext[..., plan.chunk:]
+    recv = _push_tail_right(tail, plan.n_shards, FRAME_AXIS)
+    return body.at[..., : plan.halo].add(recv)
+
+
+def _local_window_sum(window, mask, plan: FrameShardPlan):
+    """[chunk] window-square sum over REAL local frames, halo-exchanged."""
+    w2 = jnp.where(mask[:, None], (window * window)[None, :], 0.0)
+    sig_ext = overlap_add(w2, plan.hop)
+    body, tail = sig_ext[: plan.chunk], sig_ext[plan.chunk:]
+    recv = _push_tail_right(tail, plan.n_shards, FRAME_AXIS)
+    return body.at[: plan.halo].add(recv)
+
+
+# ---------------------------------------------------------------------------
+# Sharded pipelines (shard_map entry points)
+# ---------------------------------------------------------------------------
+
+def _specs(mesh: Mesh):
+    sig = P(DATA_AXIS, FRAME_AXIS)          # [B, L] signal
+    spec = P(DATA_AXIS, FRAME_AXIS, None)   # [B, F, bins(, ch)]
+    return sig, spec
+
+
+def sharded_stft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32):
+    """Build a jitted [B, F_pad*hop] -> [B, F_pad, N/2+1] sharded STFT."""
+    window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
+    sig_spec, spec_spec = _specs(mesh)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(sig_spec,),
+        out_specs=P(DATA_AXIS, FRAME_AXIS, None))
+    def _fn(x):
+        return _local_stft(x, window, plan)
+
+    return jax.jit(_fn)
+
+
+def sharded_istft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32):
+    """Build a jitted sharded direct iSTFT with GLOBAL window-sum threshold:
+    [B, F_pad, N/2+1] complex -> [B, F_pad*hop] real.
+
+    Parity target: /root/reference/phase/phase.go:93-133 (the 0.5*max
+    stability threshold is a global pmax across shards)."""
+    window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS, FRAME_AXIS, None),),
+        out_specs=P(DATA_AXIS, FRAME_AXIS))
+    def _fn(half_spec):
+        mask = _local_frame_mask(plan.frames_per_shard, plan.n_frames,
+                                 FRAME_AXIS)
+        frames = jnp.fft.irfft(half_spec, n=plan.frame_len, axis=-1
+                               ).astype(window.dtype)
+        frames = jnp.where(mask[None, :, None], frames, 0.0)
+        sig = _local_overlap_add(frames * window, plan)
+        wsum = _local_window_sum(window, mask, plan)
+        local_max = jnp.max(wsum)
+        global_max = jax.lax.pmax(local_max, FRAME_AXIS)
+        return normalize_by_window_sum(sig, wsum[None, :], 0.5 * global_max)
+
+    return jax.jit(_fn)
+
+
+def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
+                           dtype=jnp.float32):
+    """Build a jitted sharded Griffin-Lim:
+    (mag [B, F_pad, N/2+1], sig0 [B, F_pad*hop]) -> [B, F_pad*hop].
+
+    The signal carry stays shard-resident in HBM across the ``fori_loop``;
+    per iteration: left-halo pull (analysis) + right-halo push (synthesis).
+    Un-normalized overlap-add, matching /root/reference/mel/mel.go:111-135.
+    """
+    window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS, FRAME_AXIS, None), P(DATA_AXIS, FRAME_AXIS)),
+        out_specs=P(DATA_AXIS, FRAME_AXIS))
+    def _fn(mag_loc, sig0):
+        mask = _local_frame_mask(plan.frames_per_shard, plan.n_frames,
+                                 FRAME_AXIS)
+        mag = jnp.where(mask[None, :, None], mag_loc, 0.0)
+
+        def body(_, sig):
+            spec = _local_stft(sig, window, plan)
+            a = jnp.abs(spec)
+            unit = jnp.where(a > 0, spec / jnp.where(a > 0, a, 1.0),
+                             jnp.ones((), dtype=spec.dtype))
+            rec = jnp.fft.irfft(mag.astype(spec.dtype) * unit,
+                                n=plan.frame_len, axis=-1).astype(window.dtype)
+            return _local_overlap_add(rec * window, plan)
+
+        return jax.lax.fori_loop(0, n_iter, body, sig0)
+
+    return jax.jit(_fn)
+
+
+# ---------------------------------------------------------------------------
+# Codec-level sharded pipelines
+# ---------------------------------------------------------------------------
+
+def sharded_phase_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_freqs: int,
+                            dtype=jnp.float32):
+    """[B, F_pad*hop] audio -> [B, F_pad, num_freqs, 2] phase spectrogram
+    (parity: /root/reference/phase/phase.go:41-70 — see ops/phase_ops.py)."""
+    window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(DATA_AXIS, FRAME_AXIS),),
+        out_specs=P(DATA_AXIS, FRAME_AXIS, None, None))
+    def _fn(x):
+        spec = _local_stft(x, window, plan)
+        bins = spec[..., 1:num_freqs + 1]
+        return jnp.stack([jnp.imag(bins), jnp.real(bins)], axis=-1)
+
+    return jax.jit(_fn)
+
+
+def sharded_phase_decode_fn(mesh: Mesh, plan: FrameShardPlan,
+                            volume_boost: float = 0.0, dtype=jnp.float32):
+    """[B, F_pad, num_freqs, 2] -> [B, F_pad*hop] audio
+    (parity: /root/reference/phase/phase.go:136-153)."""
+    window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS, FRAME_AXIS, None, None),),
+        out_specs=P(DATA_AXIS, FRAME_AXIS))
+    def _fn(spec2):
+        mask = _local_frame_mask(plan.frames_per_shard, plan.n_frames,
+                                 FRAME_AXIS)
+        half = jax.vmap(
+            lambda s: grow_half_spectrum(s, plan.frame_len // 2))(spec2)
+        frames = jnp.fft.irfft(half, n=plan.frame_len, axis=-1
+                               ).astype(window.dtype)
+        frames = jnp.where(mask[None, :, None], frames, 0.0)
+        sig = _local_overlap_add(frames * window, plan)
+        wsum = _local_window_sum(window, mask, plan)
+        global_max = jax.lax.pmax(jnp.max(wsum), FRAME_AXIS)
+        out = normalize_by_window_sum(sig, wsum[None, :], 0.5 * global_max)
+        if volume_boost != 0.0:
+            out = out * jnp.asarray(volume_boost, out.dtype)
+        return out
+
+    return jax.jit(_fn)
+
+
+def sharded_mel_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_mels: int,
+                          fwd_weights: jax.Array, dtype=jnp.float32):
+    """[B, F_pad*hop] audio -> [B, F_pad, num_mels, 2] log-mel
+    (parity: /root/reference/mel/mel.go:46-74). The filterbank matmul is
+    replicated per shard — frames are the sharded axis, the weight matrix is
+    small and lives on every chip."""
+    window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
+    fwd = jnp.asarray(fwd_weights, dtype=dtype)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(DATA_AXIS, FRAME_AXIS), P()),
+        out_specs=P(DATA_AXIS, FRAME_AXIS, None, None))
+    def _fn(x, w):
+        spec = _local_stft(x, window, plan)
+        mags = jnp.abs(spec)
+        ch = jnp.stack([mags[..., :-1], mags[..., 1:]], axis=-1)
+        mel = jnp.einsum("bfnc,mn->bfmc", ch, w.astype(ch.dtype),
+                         preferred_element_type=ch.dtype)
+        return spectral_normalize(mel)
+
+    return jax.jit(lambda x: _fn(x, fwd))
+
+
+def sharded_mel_decode_fn(mesh: Mesh, plan: FrameShardPlan,
+                          inv_weights: jax.Array, n_iter: int,
+                          tune_mul: float = 1.0, tune_add: float = 0.0,
+                          dtype=jnp.float32):
+    """[B, F_pad, num_mels, 2] log-mel + PRNG key -> [B, F_pad*hop] audio via
+    sharded Griffin-Lim (parity: /root/reference/mel/mel.go:142-152)."""
+    inv = jnp.asarray(inv_weights, dtype=dtype)
+    gl = sharded_griffin_lim_fn(mesh, plan, n_iter, dtype=dtype)
+    sig_sharding = NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS))
+
+    @jax.jit
+    def _prep(logmel):
+        lin = jax.vmap(lambda s: mel_to_linear(s, inv, tune_mul, tune_add)
+                       )(logmel.astype(dtype))
+        return jax.vmap(griffin_lim_magnitudes)(lin)
+
+    def _fn(logmel, key):
+        mag = _prep(logmel)
+        B = logmel.shape[0]
+        sig0 = jax.random.uniform(
+            key, (B, plan.sharded_signal_len), dtype=dtype)
+        sig0 = jax.device_put(sig0, sig_sharding)
+        return gl(mag, sig0)
+
+    return _fn

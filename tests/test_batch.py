@@ -1,0 +1,97 @@
+"""Length-bucketed batcher + data-parallel pipeline tests (8-dev CPU mesh)."""
+import jax.numpy as jnp
+import numpy as np
+
+from gomel_tpu.core.config import MelConfig, PhaseConfig
+from gomel_tpu.core.framing import pad_length
+from gomel_tpu.parallel.batch import (BatchedMel, BatchedPhase, make_buckets,
+                                      pad_batch_to_multiple)
+from gomel_tpu.parallel.mesh import make_mesh
+from gomel_tpu.pipelines.mel import Mel
+from gomel_tpu.pipelines.phase import Phase
+
+CFG = dict(window=64, resolut=256)
+
+
+def _utts(lengths, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal(l).astype(np.float32) for l in lengths]
+
+
+def test_bucket_grouping_and_order():
+    utts = _utts([100, 5000, 120, 5100, 30000])
+    buckets = make_buckets(utts, hop=64, max_batch=2)
+    covered = sorted(i for b in buckets for i in b.indices)
+    assert covered == [0, 1, 2, 3, 4]
+    for b in buckets:
+        assert b.audio.shape[1] == b.padded_len
+        assert b.audio.shape[0] <= 2
+        for row, i in enumerate(b.indices):
+            assert b.lengths[row] == len(utts[i])
+            # padded region is zeros, content preserved
+            np.testing.assert_array_equal(
+                b.audio[row, :b.lengths[row]], utts[i])
+            assert not b.audio[row, b.lengths[row]:].any()
+        # bucket length is at least the reference padded length of each item
+        for row, i in enumerate(b.indices):
+            assert b.padded_len >= pad_length(len(utts[i]), 64)
+
+
+def test_pad_batch_to_multiple():
+    utts = _utts([100, 200, 300])
+    b = make_buckets(utts, hop=64, max_batch=8)[0]
+    p = pad_batch_to_multiple(b, 4)
+    assert p.audio.shape[0] == 4
+    assert p.indices[-1] == -1 and p.lengths[-1] == 0
+
+
+def test_batched_mel_matches_single():
+    mesh = make_mesh(data=8, frame=1)
+    cfg = MelConfig(num_mels=24, **CFG)
+    bm = BatchedMel(cfg, mesh=mesh)
+    single = Mel(cfg)
+    L = pad_length(4000, cfg.window)
+    rng = np.random.default_rng(1)
+    xb = rng.standard_normal((8, L)).astype(np.float32)
+    got = np.asarray(bm.encode(xb))
+    for i in range(8):
+        want = np.asarray(single.encode(xb[i]))
+        np.testing.assert_allclose(got[i], want, atol=1e-5, rtol=1e-5)
+
+
+def test_batched_phase_roundtrip_matches_single():
+    mesh = make_mesh(data=8, frame=1)
+    cfg = PhaseConfig(num_freqs=96, **CFG)
+    bp = BatchedPhase(cfg, mesh=mesh)
+    single = Phase(cfg)
+    L = pad_length(4000, cfg.window)
+    rng = np.random.default_rng(2)
+    xb = rng.standard_normal((8, L)).astype(np.float32)
+    spec = bp.encode(xb)
+    dec = np.asarray(bp.decode(spec))
+    for i in range(8):
+        want_spec = np.asarray(single.encode(xb[i]))
+        np.testing.assert_allclose(np.asarray(spec)[i], want_spec,
+                                   atol=1e-5, rtol=1e-5)
+        want_dec = np.asarray(single.decode(want_spec))
+        np.testing.assert_allclose(dec[i], want_dec, atol=1e-4, rtol=1e-4)
+
+
+def test_encode_buckets_end_to_end():
+    mesh = make_mesh(data=2, frame=1)
+    cfg = MelConfig(num_mels=16, **CFG)
+    bm = BatchedMel(cfg, mesh=mesh)
+    utts = _utts([1000, 1100, 9000], seed=3)
+    results = bm.encode_buckets(utts, max_batch=4)
+    single = Mel(cfg)
+    seen = set()
+    for bucket, logmel in results:
+        assert logmel.shape[0] == len(bucket.indices)
+        for row, i in enumerate(bucket.indices):
+            seen.add(int(i))
+            # single-utterance pipeline pads to pad_length(len);
+            # bucket pads further -> frames prefix must match
+            want = np.asarray(single.encode(utts[i]))
+            got = np.asarray(logmel[row])[: want.shape[0]]
+            np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    assert seen == {0, 1, 2}
