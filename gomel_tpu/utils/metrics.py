@@ -1,0 +1,68 @@
+"""Throughput and scaling-efficiency metrics.
+
+The reference has no observability at all (SURVEY.md §5); BASELINE.json's
+headline metric is audio-seconds/s per chip and >0.9 multi-host scaling
+efficiency — these helpers measure and report exactly that.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+
+
+@dataclasses.dataclass
+class ThroughputResult:
+    audio_seconds: float
+    wall_seconds: float
+    iters: int
+    n_devices: int
+
+    @property
+    def audio_seconds_per_second(self) -> float:
+        return self.audio_seconds / self.wall_seconds
+
+    @property
+    def per_chip(self) -> float:
+        return self.audio_seconds_per_second / max(self.n_devices, 1)
+
+    def json(self) -> dict:
+        return {
+            "audio_seconds_per_second": round(self.audio_seconds_per_second, 1),
+            "per_chip": round(self.per_chip, 1),
+            "iters": self.iters,
+            "n_devices": self.n_devices,
+            "wall_seconds": round(self.wall_seconds, 4),
+        }
+
+
+def measure_throughput(fn: Callable, args: tuple, audio_seconds_per_call: float,
+                       n_devices: int = 1, warmup: int = 2,
+                       min_seconds: float = 1.0, max_iters: int = 100
+                       ) -> ThroughputResult:
+    """Steady-state throughput of a jitted call (compile excluded)."""
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*args))
+    once = time.perf_counter() - t0
+    iters = max(3, min(max_iters, int(min_seconds / max(once, 1e-5))))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    wall = time.perf_counter() - t0
+    return ThroughputResult(audio_seconds=audio_seconds_per_call * iters,
+                            wall_seconds=wall, iters=iters,
+                            n_devices=n_devices)
+
+
+def scaling_efficiency(single: ThroughputResult, multi: ThroughputResult
+                       ) -> float:
+    """Throughput(N devices) / (N * throughput(1 device))."""
+    base = single.audio_seconds_per_second
+    return multi.audio_seconds_per_second / (multi.n_devices * base)
