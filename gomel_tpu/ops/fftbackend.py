@@ -1,0 +1,47 @@
+"""FFT backend dispatch: XLA FFT vs MXU-matmul FFT.
+
+``backend="auto"`` resolves to the MXU path (ops/mxu_fft.py) on TPU — where it
+measures ~1.5x faster end-to-end than XLA's vector-unit FFT — and to
+``jnp.fft`` elsewhere (CPU float64 golden tests keep exact numpy semantics).
+All interfaces use separate real/imag planes; complex arrays are only formed
+in the XLA fallback internally.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import mxu_fft
+
+
+def resolve(backend: str, n: int) -> str:
+    if backend == "auto":
+        if jax.default_backend() == "tpu" and mxu_fft.supported(n):
+            return "mxu"
+        return "xla"
+    if backend not in ("xla", "mxu"):
+        raise ValueError(f"unknown fft backend {backend!r}")
+    return backend
+
+
+def rfft_planes(x: jax.Array, n: int, backend: str = "auto"):
+    """Real [..., n] -> (re, im) half-spectrum planes [..., n//2+1]."""
+    if resolve(backend, n) == "mxu":
+        return mxu_fft.rfft(x, n)
+    spec = jnp.fft.rfft(x, axis=-1)
+    return jnp.real(spec), jnp.imag(spec)
+
+
+def rfft_mag(x: jax.Array, n: int, backend: str = "auto") -> jax.Array:
+    """Real [..., n] -> |rfft| [..., n//2+1]."""
+    if resolve(backend, n) == "mxu":
+        return mxu_fft.rfft_mag(x, n)
+    return jnp.abs(jnp.fft.rfft(x, axis=-1))
+
+
+def irfft_planes(re: jax.Array, im: jax.Array, n: int,
+                 backend: str = "auto") -> jax.Array:
+    """(re, im) half-spectrum [..., n//2+1] -> real [..., n]."""
+    if resolve(backend, n) == "mxu":
+        return mxu_fft.irfft(re, im, n)
+    return jnp.fft.irfft(jax.lax.complex(re, im), n=n, axis=-1)

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .stft import frame_signal, hann_window
+from .fftbackend import irfft_planes, rfft_planes
 from .istft import overlap_add
 
 
@@ -47,7 +48,8 @@ def griffin_lim_magnitudes(linear2: jax.Array) -> jax.Array:
 
 def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
                 window: jax.Array | None = None,
-                init: jax.Array | None = None) -> jax.Array:
+                init: jax.Array | None = None,
+                fft_backend: str = "auto") -> jax.Array:
     """Iterative phase reconstruction.
 
     mag_half: [F, N/2+1] fixed half-spectrum magnitudes.
@@ -68,12 +70,14 @@ def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
 
     def body(_, sig):
         frames = frame_signal(sig, N, hop) * window
-        spec = jnp.fft.rfft(frames, axis=-1)
+        re, im = rfft_planes(frames, N, fft_backend)
         # unit phase; angle(0) = 0 -> unit 1 (matches cmplx.Rect(mag, Phase(0)))
-        a = jnp.abs(spec)
-        unit = jnp.where(a > 0, spec / jnp.where(a > 0, a, 1.0),
-                         jnp.ones((), dtype=spec.dtype))
-        rec = jnp.fft.irfft(mag_half.astype(dtype) * unit, n=N, axis=-1)
+        a = jnp.sqrt(re * re + im * im)
+        inv = jnp.where(a > 0, 1.0 / jnp.where(a > 0, a, 1.0), 0.0)
+        unit_re = jnp.where(a > 0, re * inv, 1.0)
+        unit_im = im * inv
+        m = mag_half.astype(dtype)
+        rec = irfft_planes(m * unit_re, m * unit_im, N, fft_backend)
         return overlap_add(rec.astype(dtype) * window, hop)
 
     return jax.lax.fori_loop(0, n_iter, body, sig0, unroll=False)

@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .fftbackend import irfft_planes
+
 
 def overlap_add(frames: jax.Array, hop: int) -> jax.Array:
     """Sum overlapping frames: [F, N] -> [N + (F-1)*hop].
@@ -42,10 +44,12 @@ def window_sum(window: jax.Array, n_frames: int, hop: int) -> jax.Array:
     return overlap_add(w2, hop)
 
 
-def istft_direct(half_spec: jax.Array, hop: int, window: jax.Array) -> jax.Array:
+def istft_direct_planes(re: jax.Array, im: jax.Array, hop: int,
+                        window: jax.Array,
+                        fft_backend: str = "auto") -> jax.Array:
     """Direct (0-iteration) iSTFT with window-sum normalization.
 
-    half_spec: complex [F, N//2+1] rfft-layout spectrum.
+    (re, im): real/imag planes of the [F, N//2+1] rfft-layout spectrum.
     Returns real signal [N + (F-1)*hop].
 
     Reproduces /root/reference/phase/phase.go:93-133: overlap-add of
@@ -53,13 +57,20 @@ def istft_direct(half_spec: jax.Array, hop: int, window: jax.Array) -> jax.Array
     normalization where window_sum > 0.5*max, proportional fade where
     1e-21 < window_sum <= threshold.
     """
-    F = half_spec.shape[0]
-    N = (half_spec.shape[1] - 1) * 2
-    frames = jnp.fft.irfft(half_spec, n=N, axis=-1).astype(window.dtype)
+    F = re.shape[0]
+    N = (re.shape[1] - 1) * 2
+    frames = irfft_planes(re, im, N, fft_backend).astype(window.dtype)
     sig = overlap_add(frames * window, hop)
     wsum = window_sum(window, F, hop)
     threshold = 0.5 * jnp.max(wsum)
     return normalize_by_window_sum(sig, wsum, threshold)
+
+
+def istft_direct(half_spec: jax.Array, hop: int, window: jax.Array,
+                 fft_backend: str = "auto") -> jax.Array:
+    """Complex-input convenience wrapper over ``istft_direct_planes``."""
+    return istft_direct_planes(jnp.real(half_spec), jnp.imag(half_spec),
+                               hop, window, fft_backend)
 
 
 def normalize_by_window_sum(sig: jax.Array, wsum: jax.Array,

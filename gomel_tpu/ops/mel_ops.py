@@ -19,7 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .stft import stft, hann_window
+from .stft import frame_signal, hann_window
+from .fftbackend import rfft_mag
 from .griffinlim import griffin_lim, griffin_lim_magnitudes
 
 
@@ -35,13 +36,17 @@ def spectral_denormalize(x: jax.Array) -> jax.Array:
 
 def mel_encode(x_padded: jax.Array, num_mels: int, frame_len: int, hop: int,
                fwd_weights: jax.Array,
-               window: jax.Array | None = None) -> jax.Array:
+               window: jax.Array | None = None,
+               fft_backend: str = "auto") -> jax.Array:
     """Audio -> log-mel spectrogram [F, num_mels, 2].
 
     fwd_weights: [num_mels, N/2] filterbank matrix (core.filterbank.mel_weights).
+    fft_backend: "auto" picks the MXU-matmul FFT on TPU (ops/mxu_fft.py).
     """
-    spec = stft(x_padded, frame_len, hop, window)      # [F, N/2+1] complex
-    mags = jnp.abs(spec)                               # [F, N/2+1]
+    frames = frame_signal(x_padded, frame_len, hop)
+    if window is None:
+        window = jnp.asarray(hann_window(frame_len), dtype=x_padded.dtype)
+    mags = rfft_mag(frames * window, frame_len, fft_backend)  # [F, N/2+1]
     ch = jnp.stack([mags[:, :-1], mags[:, 1:]], axis=-1)  # [F, N/2, 2]
     # One MXU matmul for both channels: [F, N/2, 2] x [num_mels, N/2]
     mel = jnp.einsum("fbc,mb->fmc", ch, fwd_weights.astype(ch.dtype),
@@ -67,7 +72,8 @@ def mel_to_linear(logmel: jax.Array, inv_weights: jax.Array,
 def mel_decode(logmel: jax.Array, frame_len: int, hop: int,
                inv_weights: jax.Array, n_iter: int, key: jax.Array,
                tune_mul: float = 1.0, tune_add: float = 0.0,
-               window: jax.Array | None = None) -> jax.Array:
+               window: jax.Array | None = None,
+               fft_backend: str = "auto") -> jax.Array:
     """log-mel [F, num_mels, 2] -> audio via Griffin-Lim (reference:
     mel/mel.go:142-152). Output length N + (F-1)*hop, un-normalized overlap-add
     amplitude exactly like the reference (window-sum division is commented out
@@ -76,4 +82,4 @@ def mel_decode(logmel: jax.Array, frame_len: int, hop: int,
     mag = griffin_lim_magnitudes(lin)
     if window is None:
         window = jnp.asarray(hann_window(frame_len), dtype=logmel.dtype)
-    return griffin_lim(mag, hop, n_iter, key, window)
+    return griffin_lim(mag, hop, n_iter, key, window, fft_backend=fft_backend)

@@ -19,12 +19,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .stft import stft, hann_window
-from .istft import istft_direct
+from .stft import frame_signal, hann_window
+from .fftbackend import rfft_planes
+from .istft import istft_direct_planes
 
 
 def phase_encode(x_padded: jax.Array, num_freqs: int, frame_len: int, hop: int,
-                 window: jax.Array | None = None) -> jax.Array:
+                 window: jax.Array | None = None,
+                 fft_backend: str = "auto") -> jax.Array:
     """Audio -> phase spectrogram [F, num_freqs, 2].
 
     Reference (phase/phase.go:50-64): per bin j in [0, N/2):
@@ -33,9 +35,12 @@ def phase_encode(x_padded: jax.Array, num_freqs: int, frame_len: int, hop: int,
     then ``shrink`` keeps the first num_freqs bins (phase/impl.go:383-391).
     So the channels are just (imag, real) of rfft bins 1..num_freqs.
     """
-    spec = stft(x_padded, frame_len, hop, window)  # [F, N//2+1] complex
-    bins = spec[:, 1:num_freqs + 1]
-    return jnp.stack([jnp.imag(bins), jnp.real(bins)], axis=-1)
+    frames = frame_signal(x_padded, frame_len, hop)
+    if window is None:
+        window = jnp.asarray(hann_window(frame_len), dtype=x_padded.dtype)
+    re, im = rfft_planes(frames * window, frame_len, fft_backend)
+    return jnp.stack([im[:, 1:num_freqs + 1], re[:, 1:num_freqs + 1]],
+                     axis=-1)
 
 
 def grow_half_spectrum(spec2: jax.Array, n_bins: int) -> jax.Array:
@@ -74,19 +79,38 @@ def grow_half_spectrum(spec2: jax.Array, n_bins: int) -> jax.Array:
     return jnp.concatenate([dc, cplx[:, :-1], nyq[:, None]], axis=1)
 
 
+def grow_half_planes(spec2: jax.Array, n_bins: int
+                     ) -> tuple[jax.Array, jax.Array]:
+    """``grow_half_spectrum`` in separate real/imag planes (no complex array):
+    re = [0, realm0[0..N/2-1]],  im = [0, realn1[0..N/2-2], 0]."""
+    F, num_freqs, _ = spec2.shape
+    pad_cnt = n_bins - num_freqs
+    if pad_cnt > 0:
+        last = spec2[:, -1:, :]
+        spec2 = jnp.concatenate(
+            [spec2, jnp.broadcast_to(last, (F, pad_cnt, 2))], axis=1)
+    realn1 = spec2[..., 0]
+    realm0 = spec2[..., 1]
+    zero = jnp.zeros((F, 1), dtype=spec2.dtype)
+    re = jnp.concatenate([zero, realm0], axis=1)
+    im = jnp.concatenate([zero, realn1[:, :-1], zero], axis=1)
+    return re, im
+
+
 def phase_decode(spec2: jax.Array, frame_len: int, hop: int,
                  volume_boost: float = 0.0,
-                 window: jax.Array | None = None) -> jax.Array:
+                 window: jax.Array | None = None,
+                 fft_backend: str = "auto") -> jax.Array:
     """Phase spectrogram [F, num_freqs, 2] -> audio [N + (F-1)*hop].
 
-    grow -> complex half-spectrum -> direct iSTFT with window-sum normalization
+    grow -> half-spectrum planes -> direct iSTFT with window-sum normalization
     -> optional volume boost (reference: phase/phase.go:136-153; boost applied
     when != 0, phase/phase.go:146 — note the port uses > 0, phase.py:216).
     """
     if window is None:
         window = jnp.asarray(hann_window(frame_len), dtype=spec2.dtype)
-    half = grow_half_spectrum(spec2, frame_len // 2)
-    sig = istft_direct(half, hop, window)
+    re, im = grow_half_planes(spec2, frame_len // 2)
+    sig = istft_direct_planes(re, im, hop, window, fft_backend)
     if volume_boost != 0.0:
         sig = sig * jnp.asarray(volume_boost, dtype=sig.dtype)
     return sig
