@@ -18,7 +18,7 @@ from gomel_tpu.ops.stft import hann_window
 def test_supported_geometries():
     assert supported(4096, 1280)      # flagship CLI config
     assert supported(512, 128)
-    assert not supported(2048, 1280)  # hop not divisible by 128
+    assert not supported(4096, 1000)  # hop not divisible by 128
     assert not supported(100, 128)
 
 
