@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Example usage of gomel_tpu (TPU-native equivalent of the reference's
+example_usage.py, /root/reference/example_usage.py).
+
+Demonstrates: buffer-level phase round trip, mel encode/decode with
+Griffin-Lim, file conversion, the reference-port compat layer, batched
+data-parallel pipelines, and frame-sharded long-form processing.
+"""
+import numpy as np
+
+
+def example_phase_roundtrip():
+    print("=== Phase codec (buffer level) ===")
+    from gomel_tpu import Phase
+    p = Phase(sample_rate=48000)
+    print(f"num_freqs={p.config.num_freqs} hop={p.config.window} "
+          f"fft={p.config.resolut}")
+    sr = 48000
+    t = np.arange(sr) / sr
+    audio = np.sin(2 * np.pi * 440 * t)
+    spec = p.to_phase(audio)                     # [F*num_freqs, 2] flat
+    print("spectrogram:", spec.shape)
+    rec = p.from_phase(spec)
+    n = min(len(audio), len(rec))
+    print("corr:", np.corrcoef(audio[4096:n - 4096], rec[4096:n - 4096])[0, 1])
+
+
+def example_mel_roundtrip():
+    print("\n=== Mel codec (device level) ===")
+    from gomel_tpu import Mel, MelConfig
+    m = Mel(MelConfig.cli_default())             # 192 mels, hop 1280, FFT 4096
+    audio = np.random.default_rng(0).standard_normal(48000)
+    logmel = m.encode(audio)                     # [F, 192, 2] device array
+    print("log-mel:", logmel.shape)
+    wav = m.decode(logmel, seed=0)               # Griffin-Lim, explicit PRNG
+    print("reconstructed:", wav.shape)
+
+
+def example_files(tmpdir="/tmp/gomel_tpu_example"):
+    print("\n=== File conversion ===")
+    import os
+    os.makedirs(tmpdir, exist_ok=True)
+    from gomel_tpu import Phase
+    from gomel_tpu.io.audio import save_wav
+    sr = 48000
+    t = np.arange(2 * sr) / sr
+    save_wav(f"{tmpdir}/in.wav", 0.5 * np.sin(2 * np.pi * 440 * t), sr)
+    Phase(sample_rate=sr).to_phase_wav(f"{tmpdir}/in.wav", f"{tmpdir}/p.png")
+    rate = Phase(sample_rate=sr).to_wav_png(f"{tmpdir}/p.png",
+                                            f"{tmpdir}/out.wav")
+    print(f"wrote {tmpdir}/out.wav at {rate} Hz")
+
+
+def example_compat():
+    print("\n=== Drop-in reference-port compat ===")
+    from gomel_tpu.compat import phase  # same surface as `import phase`
+    p = phase.Phase(sample_rate=44100)
+    audio = phase.pad(np.random.default_rng(1).standard_normal(30000), 1280)
+    spec = p.to_phase(audio)
+    print("compat spectrogram:", spec.shape)
+
+
+def example_batched():
+    print("\n=== Batched data-parallel pipeline ===")
+    from gomel_tpu.core.config import MelConfig
+    from gomel_tpu.parallel import BatchedMel, make_buckets
+    bm = BatchedMel(MelConfig(window=256, resolut=2048, num_mels=80))
+    utts = [np.random.default_rng(i).standard_normal(n).astype(np.float32)
+            for i, n in enumerate([8000, 8500, 30000])]
+    for bucket, logmel in bm.encode_buckets(utts):
+        print(f"bucket len={bucket.padded_len}: logmel {logmel.shape}")
+
+
+def example_longform():
+    print("\n=== Frame-sharded long-form (multi-chip) ===")
+    import jax
+    if len(jax.devices()) < 2:
+        print("(single device; mesh of 1 — same code path)")
+    from gomel_tpu.core.config import PhaseConfig
+    from gomel_tpu.parallel.mesh import make_mesh
+    from gomel_tpu.pipelines.longform import LongFormPhase
+    n = len(jax.devices())
+    mesh = make_mesh(data=1, frame=n)
+    lf = LongFormPhase(PhaseConfig(num_freqs=96, window=64, resolut=256), mesh)
+    x = np.random.default_rng(2).standard_normal(20000).astype(np.float32)
+    spec = lf.encode(x)
+    wav = lf.decode(spec)
+    print(f"frame-sharded over {n} devices: spec {spec.shape} wav {wav.shape}")
+
+
+if __name__ == "__main__":
+    example_phase_roundtrip()
+    example_mel_roundtrip()
+    example_files()
+    example_compat()
+    example_batched()
+    example_longform()

@@ -38,10 +38,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.stft import frame_signal, hann_window
+from ..ops.fftbackend import irfft_planes, rfft_planes
 from ..ops.istft import overlap_add, normalize_by_window_sum
 from ..ops.griffinlim import griffin_lim_magnitudes
 from ..ops.mel_ops import spectral_normalize, mel_to_linear
-from ..ops.phase_ops import grow_half_spectrum
+from ..ops.phase_ops import grow_half_planes
 from .mesh import DATA_AXIS, FRAME_AXIS
 
 
@@ -93,11 +94,20 @@ def plan_frame_sharding(n_frames: int, frame_len: int, hop: int,
 
 
 def pad_signal_for_plan(x, plan: FrameShardPlan):
-    """Zero-pad a [..., L] signal to the sharded buffer length."""
+    """Zero-pad (or tail-truncate) a [..., L] signal to the sharded buffer.
+
+    Samples past ``(n_frames-1)*hop + frame_len`` are read by no frame — the
+    reference's pad-to-multiple-minus-one scheme (mel/impl.go:437-446) leaves
+    up to hop-1 such samples — so truncating to the buffer is lossless;
+    anything beyond that is an inconsistent plan.
+    """
     L = x.shape[-1]
     target = plan.sharded_signal_len
     if L > target:
-        raise ValueError(f"signal length {L} exceeds sharded buffer {target}")
+        if L > target + plan.hop - 1 or L > plan.out_len + plan.hop - 1:
+            raise ValueError(
+                f"signal length {L} inconsistent with plan (buffer {target})")
+        return x[..., :target]
     pad = [(0, 0)] * (x.ndim - 1) + [(0, target - L)]
     return jnp.pad(x, pad)
 
@@ -145,13 +155,26 @@ def _local_frame_mask(f_loc: int, n_frames: int, axis_name: str) -> jax.Array:
 # Shard-local kernels (operate on one device's [B_loc, ...] block)
 # ---------------------------------------------------------------------------
 
-def _local_stft(x_loc, window, plan: FrameShardPlan):
-    """[B, chunk] local signal -> [B, F_loc, N/2+1] local rfft frames."""
+def _local_frames(x_loc, window, plan: FrameShardPlan):
+    """[B, chunk] local signal -> [B, F_loc, N] windowed frames (halo pull)."""
     halo = _pull_right_halo(x_loc, plan.halo, plan.n_shards, FRAME_AXIS)
     x_ext = jnp.concatenate([x_loc, halo], axis=-1)
     frames = jax.vmap(
         lambda s: frame_signal(s, plan.frame_len, plan.hop))(x_ext)
-    return jnp.fft.rfft(frames * window, axis=-1)
+    return frames * window
+
+
+def _local_stft_planes(x_loc, window, plan: FrameShardPlan,
+                       fft_backend: str = "auto"):
+    """[B, chunk] -> (re, im) local rfft frame planes [B, F_loc, N/2+1]."""
+    return rfft_planes(_local_frames(x_loc, window, plan), plan.frame_len,
+                       fft_backend)
+
+
+def _local_stft(x_loc, window, plan: FrameShardPlan):
+    """[B, chunk] local signal -> [B, F_loc, N/2+1] local rfft frames."""
+    re, im = _local_stft_planes(x_loc, window, plan, "xla")
+    return jax.lax.complex(re, im)
 
 
 def _local_overlap_add(frames_windowed, plan: FrameShardPlan):
@@ -210,8 +233,8 @@ def sharded_istft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32):
     def _fn(half_spec):
         mask = _local_frame_mask(plan.frames_per_shard, plan.n_frames,
                                  FRAME_AXIS)
-        frames = jnp.fft.irfft(half_spec, n=plan.frame_len, axis=-1
-                               ).astype(window.dtype)
+        frames = irfft_planes(jnp.real(half_spec), jnp.imag(half_spec),
+                              plan.frame_len).astype(window.dtype)
         frames = jnp.where(mask[None, :, None], frames, 0.0)
         sig = _local_overlap_add(frames * window, plan)
         wsum = _local_window_sum(window, mask, plan)
@@ -243,12 +266,13 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
         mag = jnp.where(mask[None, :, None], mag_loc, 0.0)
 
         def body(_, sig):
-            spec = _local_stft(sig, window, plan)
-            a = jnp.abs(spec)
-            unit = jnp.where(a > 0, spec / jnp.where(a > 0, a, 1.0),
-                             jnp.ones((), dtype=spec.dtype))
-            rec = jnp.fft.irfft(mag.astype(spec.dtype) * unit,
-                                n=plan.frame_len, axis=-1).astype(window.dtype)
+            re, im = _local_stft_planes(sig, window, plan)
+            a = jnp.sqrt(re * re + im * im)
+            inv = jnp.where(a > 0, 1.0 / jnp.where(a > 0, a, 1.0), 0.0)
+            unit_re = jnp.where(a > 0, re * inv, 1.0)
+            unit_im = im * inv
+            rec = irfft_planes(mag * unit_re, mag * unit_im,
+                               plan.frame_len).astype(window.dtype)
             return _local_overlap_add(rec * window, plan)
 
         return jax.lax.fori_loop(0, n_iter, body, sig0)
@@ -270,9 +294,9 @@ def sharded_phase_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_freqs: int,
         shard_map, mesh=mesh, in_specs=(P(DATA_AXIS, FRAME_AXIS),),
         out_specs=P(DATA_AXIS, FRAME_AXIS, None, None))
     def _fn(x):
-        spec = _local_stft(x, window, plan)
-        bins = spec[..., 1:num_freqs + 1]
-        return jnp.stack([jnp.imag(bins), jnp.real(bins)], axis=-1)
+        re, im = _local_stft_planes(x, window, plan)
+        return jnp.stack([im[..., 1:num_freqs + 1],
+                          re[..., 1:num_freqs + 1]], axis=-1)
 
     return jax.jit(_fn)
 
@@ -290,10 +314,9 @@ def sharded_phase_decode_fn(mesh: Mesh, plan: FrameShardPlan,
     def _fn(spec2):
         mask = _local_frame_mask(plan.frames_per_shard, plan.n_frames,
                                  FRAME_AXIS)
-        half = jax.vmap(
-            lambda s: grow_half_spectrum(s, plan.frame_len // 2))(spec2)
-        frames = jnp.fft.irfft(half, n=plan.frame_len, axis=-1
-                               ).astype(window.dtype)
+        re, im = jax.vmap(
+            lambda s: grow_half_planes(s, plan.frame_len // 2))(spec2)
+        frames = irfft_planes(re, im, plan.frame_len).astype(window.dtype)
         frames = jnp.where(mask[None, :, None], frames, 0.0)
         sig = _local_overlap_add(frames * window, plan)
         wsum = _local_window_sum(window, mask, plan)
@@ -319,8 +342,8 @@ def sharded_mel_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_mels: int,
         shard_map, mesh=mesh, in_specs=(P(DATA_AXIS, FRAME_AXIS), P()),
         out_specs=P(DATA_AXIS, FRAME_AXIS, None, None))
     def _fn(x, w):
-        spec = _local_stft(x, window, plan)
-        mags = jnp.abs(spec)
+        re, im = _local_stft_planes(x, window, plan)
+        mags = jnp.sqrt(re * re + im * im)
         ch = jnp.stack([mags[..., :-1], mags[..., 1:]], axis=-1)
         mel = jnp.einsum("bfnc,mn->bfmc", ch, w.astype(ch.dtype),
                          preferred_element_type=ch.dtype)

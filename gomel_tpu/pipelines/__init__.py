@@ -1,0 +1,7 @@
+"""High-level codec pipelines: single-chip Mel/Phase and frame-sharded
+long-form variants."""
+from .mel import Mel
+from .phase import Phase
+from .longform import LongFormMel, LongFormPhase
+
+__all__ = ["Mel", "Phase", "LongFormMel", "LongFormPhase"]

@@ -1,0 +1,64 @@
+"""Long-form pipeline API: frame-sharded codecs match single-chip pipelines."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gomel_tpu.core.config import MelConfig, PhaseConfig
+from gomel_tpu.parallel.mesh import make_mesh
+from gomel_tpu.pipelines.longform import LongFormMel, LongFormPhase
+from gomel_tpu.pipelines.mel import Mel
+from gomel_tpu.pipelines.phase import Phase
+
+CFG = dict(window=64, resolut=256)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(data=2, frame=4)
+
+
+def test_longform_phase_roundtrip_matches_single(mesh):
+    cfg = PhaseConfig(num_freqs=96, **CFG)
+    lf = LongFormPhase(cfg, mesh)
+    single = Phase(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 5000)).astype(np.float32)
+    spec = lf.encode(x)
+    dec = np.asarray(lf.decode(spec))
+    for i in range(2):
+        want_spec = np.asarray(single.encode(x[i]))
+        np.testing.assert_allclose(np.asarray(spec)[i], want_spec,
+                                   atol=1e-4, rtol=1e-4)
+        want = np.asarray(single.decode(want_spec))
+        np.testing.assert_allclose(dec[i][: len(want)], want,
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_longform_mel_encode_matches_single(mesh):
+    cfg = MelConfig(num_mels=24, **CFG)
+    lf = LongFormMel(cfg, mesh)
+    single = Mel(cfg)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 4000)).astype(np.float32)
+    got = np.asarray(lf.encode(x))
+    for i in range(2):
+        want = np.asarray(single.encode(x[i]))
+        np.testing.assert_allclose(got[i], want, atol=1e-4, rtol=1e-4)
+
+
+def test_longform_mel_decode_runs(mesh):
+    cfg = MelConfig(num_mels=24, griffin_lim_iterations=2, **CFG)
+    lf = LongFormMel(cfg, mesh)
+    x = np.random.default_rng(2).standard_normal((2, 4000)).astype(np.float32)
+    logmel = lf.encode(x)
+    out = lf.decode(logmel, seed=0)
+    assert out.shape[0] == 2
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_longform_1d_input(mesh):
+    cfg = PhaseConfig(num_freqs=96, **CFG)
+    lf = LongFormPhase(cfg, mesh)
+    x = np.random.default_rng(3).standard_normal(3000).astype(np.float32)
+    spec = lf.encode(x)
+    assert spec.shape[0] == 1 and spec.shape[2] == 96
