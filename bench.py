@@ -5,7 +5,8 @@ mel extraction at the reference CLI config (NumMels=192, Window=1280,
 Resolut=4096, fmax=16k; /root/reference/cmd/tomel/main.go:24-31).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
-Extra diagnostics go to stderr.
+Extra diagnostics (Griffin-Lim inversion, phase round trip) go to stderr.
+The shared tunnel chip is timing-noisy, so every number is best-of-3 batches.
 """
 from __future__ import annotations
 
@@ -20,11 +21,25 @@ import numpy as np
 BASELINE_AUDIO_S_PER_S = 10_000.0
 
 
+def _best_of(fn, args, iters: int, trials: int = 3) -> float:
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
 def main() -> None:
-    from gomel_tpu.core.config import MelConfig
-    from gomel_tpu.core.filterbank import mel_weights
+    from gomel_tpu.core.config import MelConfig, PhaseConfig
+    from gomel_tpu.core.filterbank import inverse_mel_weights, mel_weights
     from gomel_tpu.core.framing import pad_length
-    from gomel_tpu.ops.mel_ops import mel_encode
+    from gomel_tpu.ops.mel_ops import mel_decode, mel_encode
+    from gomel_tpu.ops.phase_ops import phase_decode, phase_encode
     from gomel_tpu.ops.stft import hann_window
 
     cfg = MelConfig.cli_default()
@@ -37,7 +52,7 @@ def main() -> None:
           file=sys.stderr)
 
     n = pad_length(int(sr * secs), cfg.window)
-    audio_seconds_per_call = batch * n / sr
+    audio_s = batch * n / sr
 
     fwd = jnp.asarray(
         mel_weights(cfg.n_bins, cfg.num_mels, cfg.mel_fmin, cfg.mel_fmax),
@@ -54,23 +69,41 @@ def main() -> None:
     xb = jax.device_put(
         jnp.asarray(rng.standard_normal((batch, n)), dtype=jnp.float32), dev)
 
-    # compile + warm up
-    out = step(xb)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    jax.block_until_ready(step(xb))
-    warm = time.perf_counter() - t0
-    iters = max(3, min(30, int(2.0 / max(warm, 1e-4))))
+    best = _best_of(step, (xb,), iters=15)
+    value = audio_s / best
+    print(f"mel encode: {best * 1e3:.2f}ms/call, {value:.0f} audio-s/s",
+          file=sys.stderr)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(xb)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
+    # secondary metrics (stderr only)
+    try:
+        inv = jnp.asarray(
+            inverse_mel_weights(cfg.n_bins, cfg.num_mels, cfg.mel_fmin,
+                                cfg.mel_fmax), jnp.float32)
+        logmel = step(xb)
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        gl = jax.jit(jax.vmap(
+            lambda s, k: mel_decode(s, cfg.resolut, cfg.window, inv,
+                                    cfg.griffin_lim_iterations, k,
+                                    1.0, 0.0, window)))
+        t = _best_of(gl, (logmel, keys), iters=4)
+        print(f"griffin-lim({cfg.griffin_lim_iterations}) decode: "
+              f"{audio_s / t:.0f} audio-s/s", file=sys.stderr)
 
-    value = audio_seconds_per_call * iters / elapsed
-    print(f"iters={iters} elapsed={elapsed:.4f}s "
-          f"audio_s/call={audio_seconds_per_call:.1f}", file=sys.stderr)
+        pc = PhaseConfig.cli_default()
+        pwin = jnp.asarray(hann_window(pc.resolut), jnp.float32)
+        pe = jax.jit(jax.vmap(lambda x: phase_encode(
+            x, pc.num_freqs, pc.resolut, pc.window, pwin)))
+        pd = jax.jit(jax.vmap(lambda s: phase_decode(
+            s, pc.resolut, pc.window, 0.0, pwin)))
+        spec = pe(xb)
+        te = _best_of(pe, (xb,), iters=8)
+        td = _best_of(pd, (spec,), iters=8)
+        print(f"phase encode: {audio_s / te:.0f} a-s/s, decode: "
+              f"{audio_s / td:.0f} a-s/s, roundtrip: "
+              f"{audio_s / (te + td):.0f} a-s/s", file=sys.stderr)
+    except Exception as e:  # secondary metrics must never break the bench
+        print(f"secondary metrics skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "mel_extract_throughput",
         "value": round(value, 1),
