@@ -39,9 +39,37 @@ def overlap_add(frames: jax.Array, hop: int) -> jax.Array:
 
 
 def window_sum(window: jax.Array, n_frames: int, hop: int) -> jax.Array:
-    """Overlap-added sum of squared windows (reference: phase/phase.go:109)."""
-    w2 = (window * window)[None, :].repeat(n_frames, axis=0)
-    return overlap_add(w2, hop)
+    """Overlap-added sum of squared windows (reference: phase/phase.go:109).
+
+    All frames contribute the SAME squared window, so instead of
+    overlap-adding n_frames identical rows (O(F*N) traffic), build the result
+    from the K = ceil(N/hop) distinct hop-row patterns: with prefix sums S[k]
+    of the hop-reshaped w^2 over k, output hop-row i is
+    S[min(i, K-1)] - S[i - F] (second term 0 for i < F). O(K*hop) compute,
+    one broadcast for the periodic interior.
+    """
+    w2 = window * window
+    N = w2.shape[0]
+    K = -(-N // hop)
+    F = n_frames
+    rows = jnp.pad(w2, (0, K * hop - N)).reshape(K, hop)
+    prefix = jnp.cumsum(rows, axis=0)          # S[k] = sum_{j<=k} rows[j]
+    full = prefix[-1]
+    rows_out = F + K - 1
+    if rows_out <= 2 * (K - 1):
+        # short signal: direct formula per row
+        idx = jnp.arange(rows_out)
+        top = prefix[jnp.minimum(idx, K - 1)]
+        sub_idx = idx - F
+        sub = jnp.where((sub_idx >= 0)[:, None],
+                        prefix[jnp.clip(sub_idx, 0, K - 1)], 0.0)
+        out = top - sub
+    else:
+        head = prefix[: K - 1]                                   # rows 0..K-2
+        mid = jnp.broadcast_to(full, (rows_out - 2 * (K - 1), hop))
+        tail = full - prefix[: K - 1]                            # suffix sums
+        out = jnp.concatenate([head, mid, tail], axis=0)
+    return out.reshape(-1)[: N + (F - 1) * hop]
 
 
 def istft_direct_planes(re: jax.Array, im: jax.Array, hop: int,
