@@ -163,6 +163,23 @@ class Mel:
         buf, sr = audio_io.load_flac(input_file, mono="left", scaling="mel")
         self._to_mel_file(buf, sr, output_file)
 
+    def to_tensor(self, buf) -> "jax.Array":
+        """Audio buffer -> device log-mel [F, num_mels, 2]: the ML-pipeline
+        hook (generalizes the port's to_tensor_flac, phase.py:291-318, to the
+        mel codec — file -> device array with no PNG round trip)."""
+        return self.encode(buf)
+
+    def to_tensor_wav(self, input_file: str) -> "jax.Array":
+        """WAV file -> device log-mel [F, num_mels, 2]."""
+        buf, _ = audio_io.load_wav(input_file, mono="left")
+        return self.encode(buf)
+
+    def to_tensor_flac(self, input_file: str) -> "jax.Array":
+        """FLAC file -> device log-mel [F, num_mels, 2] (mel 1/65536
+        scaling, mel/impl.go:290)."""
+        buf, _ = audio_io.load_flac(input_file, mono="left", scaling="mel")
+        return self.encode(buf)
+
     def to_wav_png(self, input_file: str, output_file: str, seed: int = 0) -> int:
         """mel PNG -> WAV (reference ToWavPng, mel/mel.go:211-238).
 
