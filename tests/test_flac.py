@@ -154,3 +154,32 @@ def test_left_side_stereo_decorrelation(tmp_path):
     arr = arr.reshape(-1, 2)
     np.testing.assert_array_equal(arr[:, 0].astype(np.int64), left)
     np.testing.assert_array_equal(arr[:, 1].astype(np.int64), right)
+
+
+def test_fuzz_decoder_no_crash(tmp_path):
+    """Mutated/truncated/random streams must raise cleanly, never crash."""
+    rng = np.random.default_rng(42)
+    base = np.clip(rng.standard_normal(9000) * 0.3, -1, 1)
+    p = str(tmp_path / "base.flac")
+    flac.write_flac(p, base, 48000, mode="fixed")
+    with open(p, "rb") as f:
+        good = bytearray(f.read())
+    for trial in range(60):
+        data = bytearray(good)
+        kind = trial % 3
+        if kind == 0:      # random byte flips
+            for _ in range(rng.integers(1, 20)):
+                data[rng.integers(0, len(data))] ^= int(rng.integers(1, 256))
+        elif kind == 1:    # truncate
+            data = data[: rng.integers(4, len(data))]
+        else:              # random garbage with flac magic
+            data = bytearray(b"fLaC") + bytes(rng.integers(0, 256,
+                             size=int(rng.integers(10, 400)), dtype=np.uint8))
+        f2 = str(tmp_path / "fuzz.flac")
+        with open(f2, "wb") as f:
+            f.write(bytes(data))
+        try:
+            out, sr = flac.read_flac(f2)
+            assert len(out) <= len(base) * 4  # decoded something plausible
+        except (ValueError, Exception):
+            pass  # clean failure is fine; a segfault would kill pytest
