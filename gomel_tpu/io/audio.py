@@ -27,7 +27,7 @@ def _to_mono(audio: np.ndarray, mono: str) -> np.ndarray:
         if mono == "mean":
             return np.mean(audio, axis=1)
         return audio[:, 0].astype(np.float64)
-    return audio
+    return audio  # already mono (includes the go_concat FLAC layout)
 
 
 def _to_float(audio: np.ndarray) -> np.ndarray:
@@ -65,7 +65,8 @@ def load_flac(path: str, mono: str = "mean", scaling: str = "phase") -> tuple[np
     """
     from . import flac as flacdec
     try:
-        audio, sr = flacdec.read_flac(path)
+        audio, sr = flacdec.read_flac(
+            path, layout="go_concat" if mono == "go_concat" else "interleaved")
     except FileNotFoundError as e:
         raise FileNotLoadedError(f"could not load flac {path!r}: {e}") from e
     except Exception as e:

@@ -47,7 +47,7 @@ def _get_lib():
             lib = ctypes.CDLL(_SO)
             lib.flac_decode.restype = ctypes.c_int
             lib.flac_decode.argtypes = [
-                ctypes.c_char_p, ctypes.c_long,
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
                 ctypes.POINTER(ctypes.c_long),
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
@@ -60,13 +60,24 @@ def _get_lib():
         return _lib
 
 
-def read_flac(path: str) -> tuple[np.ndarray, int]:
-    """Decode a FLAC file -> (int PCM [n, channels] or [n], sample_rate).
+def read_flac(path: str, layout: str = "interleaved"
+              ) -> tuple[np.ndarray, int]:
+    """Decode a FLAC file -> (int PCM, sample_rate).
+
+    layout="interleaved": [n, channels] (or [n] mono) sample-interleaved.
+    layout="go_concat": the Go reference's iteration order — per FLAC frame,
+    each channel's samples appended in sequence as ONE mono stream (the
+    loaders loop subframes with the per-channel break commented out,
+    /root/reference/phase/impl.go:373-378); mono files are identical in both
+    layouts.
 
     16-bit streams return int16 arrays (so io.audio._to_float applies the
     1/32768 scaling the reference uses for 16-bit content); deeper streams
     return int32 scaled to full 32-bit range.
     """
+    if layout not in ("interleaved", "go_concat"):
+        raise ValueError(f"unknown layout {layout!r}")
+    lay = 1 if layout == "go_concat" else 0
     with open(path, "rb") as f:
         data = f.read()
     lib = _get_lib()
@@ -76,7 +87,7 @@ def read_flac(path: str) -> tuple[np.ndarray, int]:
         ch = ctypes.c_int()
         sr = ctypes.c_int()
         bps = ctypes.c_int()
-        rc = lib.flac_decode(data, len(data), ctypes.byref(out),
+        rc = lib.flac_decode(data, len(data), lay, ctypes.byref(out),
                              ctypes.byref(n), ctypes.byref(ch),
                              ctypes.byref(sr), ctypes.byref(bps))
         if rc != 0:
@@ -87,7 +98,7 @@ def read_flac(path: str) -> tuple[np.ndarray, int]:
             lib.flac_free(out)
         pcm, channels, rate, depth = arr, ch.value, sr.value, bps.value
     else:
-        pcm, channels, rate, depth = _decode_python(data)
+        pcm, channels, rate, depth = _decode_python(data, lay)
     pcm = pcm.reshape(-1, channels)
     if channels == 1:
         pcm = pcm[:, 0]
@@ -195,7 +206,8 @@ def _decode_subframe_py(br: _Bits, blocksize: int, bps: int) -> list:
     return out
 
 
-def _decode_python(data: bytes) -> tuple[np.ndarray, int, int, int]:
+def _decode_python(data: bytes, layout: int = 0
+                   ) -> tuple[np.ndarray, int, int, int]:
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -275,13 +287,19 @@ def _decode_python(data: bytes) -> tuple[np.ndarray, int, int, int]:
             chans[0] = [(m + s) >> 1 for m, s in zip(m2, chans[1])]
             chans[1] = [(m - s) >> 1 for m, s in zip(m2, chans[1])]
         nch_out = nch_out or nch
-        for i in range(bs):
+        if layout == 1:
             for c in range(nch):
-                pcm.append(chans[c][i])
+                pcm.extend(chans[c])
+        else:
+            for i in range(bs):
+                for c in range(nch):
+                    pcm.append(chans[c][i])
         pos = br.byte_pos
     if not pcm:
         raise ValueError("no FLAC frames decoded")
     arr = np.asarray(pcm, dtype=np.int64)
+    if layout == 1:
+        return arr.astype(np.int32), 1, si_sr, si_bps
     n = len(arr) // nch_out
     if total and total < n:
         arr = arr[: total * nch_out]

@@ -43,6 +43,21 @@ def _quantize_wrap(vals: np.ndarray, max_val: int) -> np.ndarray:
     return q & max_val
 
 
+def dump_buffer_u16(spec: np.ndarray) -> np.ndarray:
+    """In-memory uint16 preview image R | G<<8 with per-channel min/max
+    (reference ``dumpbuffer``: /root/reference/mel/impl.go:16-44,
+    phase/impl.go:15-43). spec: [F, bins, 2]; returns flattened [F*bins]
+    uint16 in the reference's y + x*bins order."""
+    spec = np.asarray(spec, dtype=np.float64)
+    maxs = spec.max(axis=(0, 1))
+    mins = spec.min(axis=(0, 1))
+    rng = np.where(maxs > mins, maxs - mins, 1.0)
+    norm = (spec - mins) / rng
+    v0 = np.trunc(255 * norm[:, :, 0]).astype(np.int64)
+    v1 = np.trunc(255 * norm[:, :, 1]).astype(np.int64)
+    return ((v0 & 0xFFFF) | ((v1 << 8) & 0xFFFF)).astype(np.uint16).reshape(-1)
+
+
 def save_mel_image(path: str, spec: np.ndarray, y_reverse: bool,
                    samples_in_mel: float, sample_rate: float) -> None:
     """Write a mel spectrogram [F, num_mels, 2] as 8-bit RGBA PNG

@@ -85,7 +85,7 @@ class LongFormPhase(_LongFormBase):
         """[B, L] (or [L]) -> [B, F, num_freqs, 2] (F = real frame count)."""
         n = np.asarray(x).shape[-1]
         plan = self._plan(n)
-        fn = self._get(("enc", plan.n_frames_padded), lambda: (
+        fn = self._get(("enc", plan.n_frames_padded, plan.n_frames), lambda: (
             sh.sharded_phase_encode_fn(self.mesh, plan,
                                        self.config.num_freqs, self.dtype)))
         xp, b = self._prep_signal(x, plan)
@@ -95,7 +95,7 @@ class LongFormPhase(_LongFormBase):
         """[B, F, num_freqs, 2] -> [B, out_len]."""
         spec = jnp.asarray(spec, dtype=self.dtype)
         plan = self._plan_for_frames(spec.shape[1])
-        fn = self._get(("dec", plan.n_frames_padded,
+        fn = self._get(("dec", plan.n_frames_padded, plan.n_frames,
                         float(self.config.volume_boost)), lambda: (
             sh.sharded_phase_decode_fn(self.mesh, plan,
                                        float(self.config.volume_boost),
@@ -124,7 +124,7 @@ class LongFormMel(_LongFormBase):
         """[B, L] (or [L]) -> [B, F, num_mels, 2] log-mel."""
         n = np.asarray(x).shape[-1]
         plan = self._plan(n)
-        fn = self._get(("enc", plan.n_frames_padded), lambda: (
+        fn = self._get(("enc", plan.n_frames_padded, plan.n_frames), lambda: (
             sh.sharded_mel_encode_fn(self.mesh, plan, self.config.num_mels,
                                      self._fwd, self.dtype)))
         xp, b = self._prep_signal(x, plan)
@@ -135,7 +135,7 @@ class LongFormMel(_LongFormBase):
         logmel = jnp.asarray(logmel, dtype=self.dtype)
         plan = self._plan_for_frames(logmel.shape[1])
         c = self.config
-        fn = self._get(("dec", plan.n_frames_padded,
+        fn = self._get(("dec", plan.n_frames_padded, plan.n_frames,
                         c.griffin_lim_iterations), lambda: (
             sh.sharded_mel_decode_fn(self.mesh, plan, self._inv,
                                      c.griffin_lim_iterations,

@@ -130,14 +130,7 @@ class Mel:
         uint16 in the reference's y+x*mels order."""
         spec = np.asarray(buf, dtype=np.float64).reshape(
             -1, self.config.num_mels, 2)
-        maxs = spec.max(axis=(0, 1))
-        mins = spec.min(axis=(0, 1))
-        rng = np.where(maxs > mins, maxs - mins, 1.0)
-        norm = (spec - mins) / rng
-        v0 = np.trunc(255 * norm[:, :, 0]).astype(np.int64)
-        v1 = np.trunc(255 * norm[:, :, 1]).astype(np.int64)
-        out = (v0 & 0xFFFF) | ((v1 << 8) & 0xFFFF)
-        return out.astype(np.uint16).reshape(-1)
+        return imagecodec.dump_buffer_u16(spec)
 
     # -- file API -------------------------------------------------------------
     def _samples_in_mel(self, input_len: int, n_frames: int) -> float:
@@ -160,7 +153,8 @@ class Mel:
     def to_mel_flac(self, input_file: str, output_file: str) -> None:
         """FLAC -> mel PNG (reference ToMelFlac, mel/mel.go:176-191; note the
         mel package's 1/65536 FLAC scaling, mel/impl.go:290)."""
-        buf, sr = audio_io.load_flac(input_file, mono="left", scaling="mel")
+        buf, sr = audio_io.load_flac(input_file, mono="go_concat",
+                                     scaling="mel")
         self._to_mel_file(buf, sr, output_file)
 
     def to_tensor(self, buf) -> "jax.Array":

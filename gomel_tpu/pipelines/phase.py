@@ -119,13 +119,7 @@ class Phase:
         phase/impl.go:15-43)."""
         spec = np.asarray(buf, dtype=np.float64).reshape(
             -1, self.config.num_freqs, 2)
-        maxs = spec.max(axis=(0, 1))
-        mins = spec.min(axis=(0, 1))
-        rng = np.where(maxs > mins, maxs - mins, 1.0)
-        norm = (spec - mins) / rng
-        v0 = np.trunc(255 * norm[:, :, 0]).astype(np.int64)
-        v1 = np.trunc(255 * norm[:, :, 1]).astype(np.int64)
-        return ((v0 & 0xFFFF) | ((v1 << 8) & 0xFFFF)).astype(np.uint16).reshape(-1)
+        return imagecodec.dump_buffer_u16(spec)
 
     # -- file API ----------------------------------------------------------------
     def _encode_file(self, buf: np.ndarray, sr: int, output_file: str,
@@ -163,7 +157,8 @@ class Phase:
         """FLAC -> phase PNG (reference ToPhaseFlac, phase/phase.go:195-218;
         phase FLAC scaling is 1/32768, phase/impl.go:375)."""
         buf, sr = audio_io.load_flac(
-            input_file, mono="left" if self.metadata_layout == "go" else "mean",
+            input_file,
+            mono="go_concat" if self.metadata_layout == "go" else "mean",
             scaling="phase")
         if self.config.sample_rate == 0 and self.metadata_layout == "py":
             self.reconfigure_sr(sr)

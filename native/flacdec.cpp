@@ -270,10 +270,13 @@ int decode_frame(BitReader& br, const StreamInfo& si,
 extern "C" {
 
 // Decode a whole FLAC stream from memory.
-// On success returns 0 and sets *out (malloc'd interleaved int32),
-// *n_samples (per channel), *channels, *sample_rate, *bps.
-// Caller frees with flac_free.
-int flac_decode(const uint8_t* buf, long len,
+// layout 0: sample-interleaved [n][ch]. layout 1: Go mewkiz-iteration order —
+// per frame, each channel's samples concatenated (reference loadflac loops
+// subframes appending all samples, phase/impl.go:373-378 with the per-channel
+// break commented out); *channels is reported as 1 and *n_samples is the
+// total concatenated length.
+// On success returns 0; caller frees *out with flac_free.
+int flac_decode(const uint8_t* buf, long len, int layout,
                 int32_t** out, long* n_samples,
                 int* channels, int* sample_rate, int* bps) {
     if (len < 8 || memcmp(buf, "fLaC", 4) != 0) return -1;
@@ -318,17 +321,29 @@ int flac_decode(const uint8_t* buf, long len,
         if (bs <= 0) break;
         int nch = (int)chans.size();
         if (nch_out == 0) nch_out = nch;
-        for (int i = 0; i < bs; ++i)
+        if (layout == 1) {
             for (int c = 0; c < nch; ++c)
-                pcm.push_back((int32_t)chans[(size_t)c][(size_t)i]);
+                for (int i = 0; i < bs; ++i)
+                    pcm.push_back((int32_t)chans[(size_t)c][(size_t)i]);
+        } else {
+            for (int i = 0; i < bs; ++i)
+                for (int c = 0; c < nch; ++c)
+                    pcm.push_back((int32_t)chans[(size_t)c][(size_t)i]);
+        }
     }
     if (pcm.empty()) return -4;
 
     int nch = nch_out ? nch_out : (int)si.channels;
-    long total = (long)(pcm.size() / (size_t)nch);
-    // trim to declared total (last block may be short-padded by broken encoders)
-    if (si.total_samples && (long)si.total_samples < total)
-        total = (long)si.total_samples;
+    long total;
+    if (layout == 1) {
+        nch = 1;                       // Go treats the concat as one stream
+        total = (long)pcm.size();
+    } else {
+        total = (long)(pcm.size() / (size_t)nch);
+        // trim to declared total (last block may be short-padded)
+        if (si.total_samples && (long)si.total_samples < total)
+            total = (long)si.total_samples;
+    }
     int32_t* res = (int32_t*)malloc(sizeof(int32_t) * (size_t)total * (size_t)nch);
     if (!res) return -5;
     memcpy(res, pcm.data(), sizeof(int32_t) * (size_t)total * (size_t)nch);

@@ -183,3 +183,32 @@ def test_fuzz_decoder_no_crash(tmp_path):
             assert len(out) <= len(base) * 4  # decoded something plausible
         except (ValueError, Exception):
             pass  # clean failure is fine; a segfault would kill pytest
+
+
+def test_go_concat_layout(tmp_path):
+    """Go reference loaders concatenate ALL channels blockwise (the
+    per-channel break is commented out, phase/impl.go:373-378)."""
+    rng = np.random.default_rng(9)
+    n, bs = 5000, 1024
+    a = rng.integers(-30000, 30000, size=(n, 2), dtype=np.int64)
+    p = str(tmp_path / "st.flac")
+    flac.write_flac(p, a, 48000, block_size=bs)
+    got, sr = flac.read_flac(p, layout="go_concat")
+    # expected: per block, ch0 then ch1
+    exp = []
+    for s in range(0, n, bs):
+        blk = a[s:s + bs]
+        exp.extend(blk[:, 0].tolist())
+        exp.extend(blk[:, 1].tolist())
+    np.testing.assert_array_equal(got.astype(np.int64), np.asarray(exp))
+    # python fallback agrees
+    with open(p, "rb") as fh:
+        arr, nch, _, _ = flac._decode_python(fh.read(), 1)
+    assert nch == 1
+    np.testing.assert_array_equal(arr.astype(np.int64), np.asarray(exp))
+    # mono files identical in both layouts
+    m = str(tmp_path / "mono.flac")
+    flac.write_flac(m, a[:, 0], 48000, block_size=bs)
+    g1, _ = flac.read_flac(m, layout="go_concat")
+    g2, _ = flac.read_flac(m, layout="interleaved")
+    np.testing.assert_array_equal(g1, g2)

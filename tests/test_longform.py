@@ -62,3 +62,19 @@ def test_longform_1d_input(mesh):
     x = np.random.default_rng(3).standard_normal(3000).astype(np.float32)
     spec = lf.encode(x)
     assert spec.shape[0] == 1 and spec.shape[2] == 96
+
+
+def test_decode_cache_not_stale_across_frame_counts(mesh):
+    # regression: F=12 and F=13 can pad to the same n_frames_padded; the
+    # cached decode fn must not reuse the smaller real-frame mask
+    cfg = PhaseConfig(num_freqs=64, window=32, resolut=128)
+    lf = LongFormPhase(cfg, mesh)
+    single = Phase(cfg)
+    rng = np.random.default_rng(7)
+    for f in (12, 13, 14):
+        spec = rng.standard_normal((2, f, 64, 2)).astype(np.float32)
+        got = np.asarray(lf.decode(spec))
+        for i in range(2):
+            want = np.asarray(single.decode(spec[i]))
+            np.testing.assert_allclose(got[i][: len(want)], want,
+                                       atol=1e-3, rtol=1e-3)
