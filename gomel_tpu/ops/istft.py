@@ -109,10 +109,14 @@ def normalize_by_window_sum(sig: jax.Array, wsum: jax.Array,
     - wsum >  threshold: sig / wsum
     - 1e-21 < wsum <= threshold: sig / wsum * (wsum / threshold) == sig / threshold
     - wsum <= 1e-21: untouched
+
+    The fade branch is computed directly as ``sig / threshold`` — identical
+    algebra, but the reference's two-step form routes through an
+    intermediate up to ~1e4x the result, which costs float32 three digits.
     """
     safe = jnp.where(wsum > 1e-21, wsum, 1.0)
     normalized = sig / safe
-    faded = normalized * (wsum / threshold)
+    faded = sig / threshold
     out = jnp.where(wsum > threshold, normalized,
                     jnp.where(wsum > 1e-21, faded, sig))
     return out
