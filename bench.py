@@ -69,6 +69,13 @@ def main() -> None:
     xb = jax.device_put(
         jnp.asarray(rng.standard_normal((batch, n)), dtype=jnp.float32), dev)
 
+    # verify the kernel actually ran (block_until_ready hides device
+    # faults on the axon tunnel — CLAUDE.md)
+    checksum = float(jnp.sum(step(xb)))
+    if not np.isfinite(checksum):
+        raise RuntimeError(f"mel encode produced non-finite output: {checksum}")
+    print(f"output checksum: {checksum:.4f}", file=sys.stderr)
+
     best = _best_of(step, (xb,), iters=15)
     value = audio_s / best
     print(f"mel encode: {best * 1e3:.2f}ms/call, {value:.0f} audio-s/s",

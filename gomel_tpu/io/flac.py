@@ -182,6 +182,8 @@ def _decode_subframe_py(br: _Bits, blocksize: int, bps: int) -> list:
         out = [br.sbits(bps) for _ in range(blocksize)]
     elif (tp & 0x38) == 0x08 and (tp & 7) <= 4:
         order = tp & 7
+        if order > blocksize:
+            raise ValueError("predictor order exceeds blocksize")
         for i in range(order):
             out[i] = br.sbits(bps)
         _decode_residual_py(br, blocksize, order, out)
@@ -190,6 +192,8 @@ def _decode_subframe_py(br: _Bits, blocksize: int, bps: int) -> list:
             out[i] += sum(c * out[i - 1 - j] for j, c in enumerate(coef))
     elif tp & 0x20:
         order = (tp & 0x1F) + 1
+        if order > blocksize:
+            raise ValueError("predictor order exceeds blocksize")
         for i in range(order):
             out[i] = br.sbits(bps)
         precision = br.bits(4) + 1
@@ -237,6 +241,7 @@ def _decode_python(data: bytes, layout: int = 0
             pos += 1
         if pos + 4 >= len(data):
             break
+        sync_pos = pos
         br = _Bits(data, pos)
         try:
             br.bits(16)  # sync+reserved+strategy
@@ -277,7 +282,8 @@ def _decode_python(data: bytes, layout: int = 0
             br.align()
             br.bits(16)  # crc16
         except (IndexError, ValueError, KeyError):
-            break
+            pos = sync_pos + 1  # corrupt frame: resync past this sync word
+            continue
         if ch_code == 8:
             chans[1] = [l - s for l, s in zip(chans[0], chans[1])]
         elif ch_code == 9:

@@ -117,6 +117,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
         for (int i = 0; i < blocksize; ++i) out[i] = br.sbits(bps);
     } else if ((type & 0x38) == 0x08 && (type & 0x07) <= 4) {  // FIXED
         int order = type & 0x07;
+        if (order > blocksize) return false;
         for (int i = 0; i < order; ++i) out[i] = br.sbits(bps);
         if (!decode_residual(br, blocksize, order, out.data())) return false;
         switch (order) {
@@ -140,6 +141,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
         }
     } else if (type & 0x20) {  // LPC
         int order = (int)(type & 0x1F) + 1;
+        if (order > blocksize) return false;
         for (int i = 0; i < order; ++i) out[i] = br.sbits(bps);
         int precision = (int)br.bits(4) + 1;
         if (precision == 16) return false;  // 1111 invalid
@@ -161,18 +163,22 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
     return !br.error;
 }
 
-// returns decoded blocksize, or -1 on error/EOF
+// returns decoded blocksize, -1 on a corrupt frame (caller may resync past
+// *sync_pos), or -2 at end of stream (no further sync word)
 int decode_frame(BitReader& br, const StreamInfo& si,
-                 std::vector<std::vector<int64_t>>& chans) {
+                 std::vector<std::vector<int64_t>>& chans,
+                 size_t* sync_pos) {
     // find sync
     br.align();
+    br.error = false;
     while (br.byte_pos + 1 < br.size) {
         if (br.data[br.byte_pos] == 0xFF &&
             (br.data[br.byte_pos + 1] & 0xFC) == 0xF8)
             break;
         ++br.byte_pos;
     }
-    if (br.byte_pos + 4 >= br.size) return -1;
+    if (br.byte_pos + 4 >= br.size) return -2;
+    *sync_pos = br.byte_pos;
     br.bits(14);            // sync
     br.bits(1);             // reserved
     br.bits(1);             // blocking strategy
@@ -312,13 +318,25 @@ int flac_decode(const uint8_t* buf, long len, int layout,
     br.byte_pos = pos;
 
     std::vector<int32_t> pcm;
-    if (si.total_samples)
-        pcm.reserve((size_t)si.total_samples * si.channels);
+    // reserve only when the declared size is plausible for the stream length
+    // (attacker-controlled STREAMINFO must not drive a throwing allocation)
+    if (si.total_samples) {
+        uint64_t want = si.total_samples * (uint64_t)si.channels;
+        if (want <= (uint64_t)len * 8 && want < (1ull << 31))
+            pcm.reserve((size_t)want);
+    }
     std::vector<std::vector<int64_t>> chans;
     int nch_out = 0;
     while (true) {
-        int bs = decode_frame(br, si, chans);
-        if (bs <= 0) break;
+        size_t sync_pos = 0;
+        int bs = decode_frame(br, si, chans, &sync_pos);
+        if (bs == -2) break;          // end of stream
+        if (bs <= 0) {                // corrupt frame: resync past this sync
+            br.byte_pos = sync_pos + 1;
+            br.bit_pos = 0;
+            br.error = false;
+            continue;
+        }
         int nch = (int)chans.size();
         if (nch_out == 0) nch_out = nch;
         if (layout == 1) {

@@ -212,3 +212,28 @@ def test_go_concat_layout(tmp_path):
     g1, _ = flac.read_flac(m, layout="go_concat")
     g2, _ = flac.read_flac(m, layout="interleaved")
     np.testing.assert_array_equal(g1, g2)
+
+
+def test_midstream_corruption_resyncs(tmp_path):
+    """A corrupt frame mid-stream must not silently truncate the rest."""
+    rng = np.random.default_rng(11)
+    n, bs = 4096 * 5, 1024
+    a = rng.integers(-20000, 20000, size=n, dtype=np.int64)
+    p = str(tmp_path / "c.flac")
+    flac.write_flac(p, a, 48000, block_size=bs)
+    data = bytearray(open(p, "rb").read())
+    # corrupt a byte inside the 3rd audio frame's payload (not its header)
+    # find frame sync words after the metadata
+    syncs = [i for i in range(len(data) - 1)
+             if data[i] == 0xFF and (data[i + 1] & 0xFC) == 0xF8]
+    assert len(syncs) >= 5
+    data[syncs[2] + 40] ^= 0xFF
+    f2 = str(tmp_path / "c2.flac")
+    with open(f2, "wb") as f:
+        f.write(bytes(data))
+    got, sr = flac.read_flac(f2)
+    # all frames except the corrupted one must survive (>= 4 of 5 blocks)
+    assert len(got) >= 4 * bs
+    with open(f2, "rb") as fh:
+        arr, nch, _, _ = flac._decode_python(fh.read())
+    assert len(arr) >= 4 * bs
