@@ -24,24 +24,29 @@ def resolve(backend: str, n: int) -> str:
     return backend
 
 
-def rfft_planes(x: jax.Array, n: int, backend: str = "auto"):
-    """Real [..., n] -> (re, im) half-spectrum planes [..., n//2+1]."""
+def rfft_planes(x: jax.Array, n: int, backend: str = "auto",
+                precision=None):
+    """Real [..., n] -> (re, im) half-spectrum planes [..., n//2+1].
+
+    ``precision`` applies to the MXU path only (XLA's FFT is exact f32).
+    """
     if resolve(backend, n) == "mxu":
-        return mxu_fft.rfft(x, n)
+        return mxu_fft.rfft(x, n, precision)
     spec = jnp.fft.rfft(x, axis=-1)
     return jnp.real(spec), jnp.imag(spec)
 
 
-def rfft_mag(x: jax.Array, n: int, backend: str = "auto") -> jax.Array:
+def rfft_mag(x: jax.Array, n: int, backend: str = "auto",
+             precision=None) -> jax.Array:
     """Real [..., n] -> |rfft| [..., n//2+1]."""
     if resolve(backend, n) == "mxu":
-        return mxu_fft.rfft_mag(x, n)
+        return mxu_fft.rfft_mag(x, n, precision)
     return jnp.abs(jnp.fft.rfft(x, axis=-1))
 
 
 def irfft_planes(re: jax.Array, im: jax.Array, n: int,
-                 backend: str = "auto") -> jax.Array:
+                 backend: str = "auto", precision=None) -> jax.Array:
     """(re, im) half-spectrum [..., n//2+1] -> real [..., n]."""
     if resolve(backend, n) == "mxu":
-        return mxu_fft.irfft(re, im, n)
+        return mxu_fft.irfft(re, im, n, precision)
     return jnp.fft.irfft(jax.lax.complex(re, im), n=n, axis=-1)

@@ -98,8 +98,15 @@ def supported(n: int) -> bool:
         return False
 
 
-def rfft(x: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
-    """Real [..., n] -> (re, im) each [..., n//2 + 1]."""
+def rfft(x: jax.Array, n: int, precision=None
+         ) -> tuple[jax.Array, jax.Array]:
+    """Real [..., n] -> (re, im) each [..., n//2 + 1].
+
+    precision: matmul precision override (None -> PREC). DEFAULT (bf16) is
+    ~3e-3 relative — fine where the consumer is noise-tolerant (e.g. the
+    interior Griffin-Lim iterations), ruinous after log() on quiet bins.
+    """
+    PREC = precision if precision is not None else globals()["PREC"]
     n1, n2, (w2r, w2i), (twr, twi), (w1r, w1i) = _fwd_consts(n)
     lead = x.shape[:-1]
     xm = x.reshape(lead + (n2, n1)).swapaxes(-1, -2)           # [.., n1, n2]
@@ -117,9 +124,9 @@ def rfft(x: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
             xi.reshape(lead + (-1,))[..., :half])
 
 
-def rfft_mag(x: jax.Array, n: int) -> jax.Array:
+def rfft_mag(x: jax.Array, n: int, precision=None) -> jax.Array:
     """Real [..., n] -> |rfft| [..., n//2 + 1] with no complex materialized."""
-    re, im = rfft(x, n)
+    re, im = rfft(x, n, precision)
     return jnp.sqrt(re * re + im * im)
 
 
@@ -131,7 +138,8 @@ def _full_from_half(re_h: jax.Array, im_h: jax.Array, n: int
     return re, im
 
 
-def irfft(re_h: jax.Array, im_h: jax.Array, n: int) -> jax.Array:
+def irfft(re_h: jax.Array, im_h: jax.Array, n: int,
+          precision=None) -> jax.Array:
     """(re, im) half-spectrum [..., n//2+1] -> real signal [..., n].
 
     Matches ``jnp.fft.irfft(re + i*im, n)``: the Hermitian extension uses the
@@ -144,6 +152,7 @@ def irfft(re_h: jax.Array, im_h: jax.Array, n: int) -> jax.Array:
       B[n1, k1] = A[n1, k1] * Wc_N^{n1 k1}
       x[n1 + N1*n2] = Re( sum_{k1} B[n1, k1] * Wc_{N2}^{k1 n2} ) / N
     """
+    PREC = precision if precision is not None else globals()["PREC"]
     n1, n2, (w2r, w2i), (twr, twi), (w1r, w1i) = _inv_consts(n)
     re, im = _full_from_half(re_h, im_h, n)
     lead = re.shape[:-1]
