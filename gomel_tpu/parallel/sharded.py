@@ -165,10 +165,10 @@ def _local_frames(x_loc, window, plan: FrameShardPlan):
 
 
 def _local_stft_planes(x_loc, window, plan: FrameShardPlan,
-                       fft_backend: str = "auto"):
+                       fft_backend: str = "auto", precision=None):
     """[B, chunk] -> (re, im) local rfft frame planes [B, F_loc, N/2+1]."""
     return rfft_planes(_local_frames(x_loc, window, plan), plan.frame_len,
-                       fft_backend)
+                       fft_backend, precision)
 
 
 def _local_stft(x_loc, window, plan: FrameShardPlan):
@@ -265,14 +265,18 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
                                  FRAME_AXIS)
         mag = jnp.where(mask[None, :, None], mag_loc, 0.0)
 
+        low = jax.lax.Precision.DEFAULT  # GL is noise-tolerant (see
+        # ops/griffinlim.py): bf16 matmuls, measured-identical quality
+
         def body(_, sig):
-            re, im = _local_stft_planes(sig, window, plan)
+            re, im = _local_stft_planes(sig, window, plan, precision=low)
             a = jnp.sqrt(re * re + im * im)
             inv = jnp.where(a > 0, 1.0 / jnp.where(a > 0, a, 1.0), 0.0)
             unit_re = jnp.where(a > 0, re * inv, 1.0)
             unit_im = im * inv
             rec = irfft_planes(mag * unit_re, mag * unit_im,
-                               plan.frame_len).astype(window.dtype)
+                               plan.frame_len,
+                               precision=low).astype(window.dtype)
             return _local_overlap_add(rec * window, plan)
 
         return jax.lax.fori_loop(0, n_iter, body, sig0)
