@@ -30,9 +30,10 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
 
-def write_png(path: str, image: np.ndarray) -> None:
+def write_png(path, image: np.ndarray) -> None:
     """Write an image array as PNG.
 
+    path: filesystem path or binary file object.
     image: uint8 or uint16 array of shape [H, W] (gray), [H, W, 3] (RGB) or
     [H, W, 4] (RGBA). 16-bit samples are stored big-endian per the PNG spec.
     """
@@ -78,11 +79,13 @@ def write_png(path: str, image: np.ndarray) -> None:
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
     idat = zlib.compress(raw_bytes, 6)
-    with open(path, "wb") as f:
-        f.write(_SIGNATURE)
-        f.write(_chunk(b"IHDR", ihdr))
-        f.write(_chunk(b"IDAT", idat))
-        f.write(_chunk(b"IEND", b""))
+    payload = (_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+               + _chunk(b"IEND", b""))
+    if hasattr(path, "write"):
+        path.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
 
 
 def _unfilter_python(raw: np.ndarray, h: int, rowbytes: int, bpp: int) -> np.ndarray:

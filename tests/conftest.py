@@ -36,6 +36,10 @@ def load_reference_phase():
         return None
     if "soundfile" not in sys.modules:
         sys.modules["soundfile"] = types.ModuleType("soundfile")
+    if "png" not in sys.modules:
+        # the reference HDR path imports pypng; back it with our shim
+        from gomel_tpu.compat import pypng
+        sys.modules["png"] = pypng
     if REFERENCE_DIR not in sys.path:
         sys.path.insert(0, REFERENCE_DIR)
     try:

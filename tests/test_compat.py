@@ -118,3 +118,28 @@ def test_compat_file_roundtrip(tmp_path):
 def test_compat_unsupported_rate_raises():
     with pytest.raises(ValueError):
         compat.Phase(sample_rate=12345)
+
+
+@needs_ref
+def test_hdr_png_cross_compat_both_directions(tmp_path):
+    """16-bit HDR PNGs interchange with the reference (via the pypng shim)."""
+    sr = 48000
+    ours = compat.Phase(sample_rate=sr, HDR=True)
+    theirs = ref.Phase(sample_rate=sr, HDR=True)
+    assert ours.num_freqs == theirs.num_freqs == 1536
+    audio = compat.pad(_tone(30000), 1280)
+    spec = ours.to_phase(audio)
+
+    f_ours = str(tmp_path / "ours16.png")
+    f_ref = str(tmp_path / "ref16.png")
+    compat.save_image(f_ours, spec, 1536, 2.5, sr, True, True, 0)
+    ref.save_image(f_ref, spec, 1536, 2.5, sr, True, True, 0)
+
+    o_from_o = compat.load_image(f_ours, True, True, 0)
+    r_from_o = ref.load_image(f_ours, True, True, 0)
+    o_from_r = compat.load_image(f_ref, True, True, 0)
+    r_from_r = ref.load_image(f_ref, True, True, 0)
+    np.testing.assert_array_equal(o_from_o[0], r_from_o[0])
+    np.testing.assert_array_equal(o_from_r[0], r_from_r[0])
+    np.testing.assert_array_equal(o_from_o[0], o_from_r[0])
+    assert o_from_o[1:] == pytest.approx(r_from_r[1:])
