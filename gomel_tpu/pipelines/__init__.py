@@ -3,5 +3,6 @@ long-form variants."""
 from .mel import Mel
 from .phase import Phase
 from .longform import LongFormMel, LongFormPhase
+from .streaming import StreamingPhase
 
-__all__ = ["Mel", "Phase", "LongFormMel", "LongFormPhase"]
+__all__ = ["Mel", "Phase", "LongFormMel", "LongFormPhase", "StreamingPhase"]

@@ -1,0 +1,180 @@
+"""Streaming (bounded-memory) codec pipelines for a single chip.
+
+The reference loads whole files into memory; the multi-chip path
+(pipelines/longform.py) shards frames across devices. This module covers the
+third regime: arbitrarily long audio on ONE chip in O(chunk) memory, using
+the same overlap-carry algebra as the halo exchange — a chunk's overlap-add
+tail (frame_len - hop samples) is carried into the next chunk instead of
+ppermuted to a neighbor.
+
+Chunks are fixed-shape, so each stream compiles exactly two programs
+(interior chunk + the reused flush path). Streaming results equal the batch
+pipelines exactly for the signal/spectrogram they cover; the iSTFT's global
+0.5*max window-sum threshold is computed from the periodic interior (equal to
+the whole-signal max whenever the stream is at least ~2 analysis windows
+long, which is the only regime where streaming makes sense).
+
+Parity targets: phase/phase.go:41-153 buffer semantics, chunked.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import PhaseConfig
+from ..core.framing import pad_length
+from ..ops.istft import normalize_by_window_sum, overlap_add, window_sum
+from ..ops.phase_ops import grow_half_planes, phase_encode
+from ..ops.fftbackend import irfft_planes
+from ..ops.stft import hann_window
+
+
+class StreamingPhase:
+    """Chunked phase codec: encode/decode arbitrarily long audio in fixed
+    memory. ``chunk_frames`` frames are processed per device call."""
+
+    def __init__(self, config: PhaseConfig | None = None,
+                 chunk_frames: int = 512, dtype=jnp.float32):
+        self.config = config or PhaseConfig()
+        c = self.config
+        if chunk_frames < 1:
+            raise ValueError("chunk_frames must be >= 1")
+        self.chunk_frames = chunk_frames
+        self.dtype = dtype
+        self._hop = c.window
+        self._frame_len = c.resolut
+        self._halo = c.resolut - c.window
+        self._window = jnp.asarray(hann_window(c.resolut), dtype)
+        self._chunk_samples = chunk_frames * self._hop
+
+        cf, fl, hop = chunk_frames, self._frame_len, self._hop
+
+        @jax.jit
+        def _enc(x):
+            # x: [cf*hop + frame_len - hop] -> [cf, num_freqs, 2]
+            return phase_encode(x, c.num_freqs, fl, hop, self._window)
+
+        @jax.jit
+        def _dec(spec2):
+            # spec2: [cf, num_freqs, 2] -> overlap-add extension
+            # [cf*hop + halo] (un-normalized)
+            re, im = grow_half_planes(spec2, fl // 2)
+            frames = irfft_planes(re, im, fl).astype(self._window.dtype)
+            return overlap_add(frames * self._window, hop)
+
+        self._enc = _enc
+        self._dec = _dec
+        # window-sum of one interior chunk (constant across chunks)
+        self._wsum_ext = self._np_window_sum(cf)
+        # global threshold: periodic-interior maximum (== whole-signal max
+        # for any stream of >= ~2*frame_len samples)
+        self._threshold = 0.5 * float(
+            self._np_window_sum(4 * (-(-fl // hop))).max())
+
+    def _np_window_sum(self, n_frames: int) -> np.ndarray:
+        """float64 overlap-added squared-window sum for n_frames frames."""
+        w2 = hann_window(self._frame_len) ** 2
+        out = np.zeros(self._frame_len + (n_frames - 1) * self._hop)
+        for i in range(n_frames):
+            out[i * self._hop: i * self._hop + self._frame_len] += w2
+        return out
+
+    # -- encode ------------------------------------------------------------
+
+    def encode_iter(self, samples: Iterable[np.ndarray],
+                    pad: bool = True) -> Iterator[np.ndarray]:
+        """Stream of sample arrays -> stream of [<=chunk_frames, nf, 2].
+
+        With ``pad=True`` the reference padding (pad to >=15*hop, then to a
+        multiple-of-hop minus one) is applied to the TOTAL stream, matching
+        the batch encoder on the concatenated signal.
+        """
+        c = self.config
+        need = self._chunk_samples + self._halo
+        buf = np.zeros(0, dtype=np.float64)
+        total = 0
+        for part in samples:
+            part = np.asarray(part, dtype=np.float64).reshape(-1)
+            total += len(part)
+            buf = np.concatenate([buf, part])
+            while len(buf) >= need:
+                x = jnp.asarray(buf[:need], dtype=self.dtype)
+                yield np.asarray(self._enc(x))
+                buf = buf[self._chunk_samples:]
+        if pad:
+            padded_total = pad_length(total, self._hop)
+            extra = padded_total - total
+        else:
+            extra = 0
+        tail = np.concatenate([buf, np.zeros(extra)])
+        # frames fully contained in the remaining tail
+        n_frames = (len(tail) - self._frame_len) // self._hop + 1
+        if n_frames > 0:
+            x = np.zeros(need)
+            x[: len(tail)] = tail
+            out = np.asarray(self._enc(jnp.asarray(x, dtype=self.dtype)))
+            yield out[:n_frames]
+
+    def encode(self, audio: np.ndarray) -> np.ndarray:
+        """Whole-array convenience wrapper (still chunked device calls)."""
+        return np.concatenate(list(self.encode_iter([audio])), axis=0)
+
+    # -- decode ------------------------------------------------------------
+
+    def decode_iter(self, specs: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
+        """Stream of [F_i, nf, 2] chunks -> stream of audio arrays.
+
+        Concatenated output equals the batch ``phase_decode`` of the
+        concatenated spectrogram (same overlap-add, window-sum normalization,
+        and threshold semantics), emitted with one-chunk latency.
+        """
+        cf = self.chunk_frames
+        carry_sig = np.zeros(self._halo)
+        carry_w = np.zeros(self._halo)
+        pending = np.zeros((0, self.config.num_freqs, 2))
+        started = False
+
+        def flush_block(block, last: bool):
+            nonlocal carry_sig, carry_w
+            f = block.shape[0]
+            x = np.zeros((cf, self.config.num_freqs, 2))
+            x[:f] = block
+            sig_ext = np.asarray(self._dec(jnp.asarray(x, dtype=self.dtype)),
+                                 dtype=np.float64)
+            sig_ext = sig_ext[: f * self._hop + self._halo]
+            # the window-sum tail depends on the block's REAL frame count
+            wsum_ext = (self._wsum_ext.copy() if f == cf
+                        else self._np_window_sum(f))
+            sig_ext[: self._halo] += carry_sig
+            wsum_ext[: self._halo] += carry_w
+            body_n = f * self._hop
+            out_sig, carry_sig = sig_ext[:body_n], sig_ext[body_n:].copy()
+            out_w, carry_w = wsum_ext[:body_n], wsum_ext[body_n:].copy()
+            if last:
+                out_sig = np.concatenate([out_sig, carry_sig])
+                out_w = np.concatenate([out_w, carry_w])
+            return np.asarray(normalize_by_window_sum(
+                jnp.asarray(out_sig), jnp.asarray(out_w), self._threshold))
+
+        for spec in specs:
+            spec = np.asarray(spec, dtype=np.float64)
+            if spec.ndim == 2:
+                spec = spec.reshape(-1, self.config.num_freqs, 2)
+            pending = np.concatenate([pending, spec], axis=0)
+            while pending.shape[0] >= cf:
+                yield flush_block(pending[:cf], last=False)
+                pending = pending[cf:]
+                started = True
+        if pending.shape[0] > 0 or started:
+            yield flush_block(pending, last=True)
+
+    def decode(self, spec: np.ndarray) -> np.ndarray:
+        """Whole-array convenience wrapper (still chunked device calls)."""
+        out = np.concatenate(list(self.decode_iter([spec])))
+        if self.config.volume_boost != 0.0:
+            out = out * self.config.volume_boost
+        return out

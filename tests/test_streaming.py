@@ -1,0 +1,69 @@
+"""Streaming pipeline parity: chunked results equal the batch pipelines."""
+import numpy as np
+import pytest
+
+from gomel_tpu.core.config import PhaseConfig
+from gomel_tpu.core.framing import pad_length
+from gomel_tpu.pipelines.phase import Phase
+from gomel_tpu.pipelines.streaming import StreamingPhase
+
+CFG = dict(num_freqs=96, window=64, resolut=256)
+
+
+def _sig(n, seed=0):
+    return np.random.default_rng(seed).standard_normal(n).astype(np.float64)
+
+
+@pytest.mark.parametrize("n", [5000, 12345, 64 * 15 - 1])
+def test_streaming_encode_matches_batch(n):
+    audio = _sig(n)
+    batch = Phase(PhaseConfig(**CFG))
+    want = np.asarray(batch.encode(audio))
+    s = StreamingPhase(PhaseConfig(**CFG), chunk_frames=16)
+    got = s.encode(audio)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_streaming_encode_from_pieces():
+    audio = _sig(20000, seed=1)
+    s = StreamingPhase(PhaseConfig(**CFG), chunk_frames=32)
+    pieces = np.array_split(audio, 7)
+    got = np.concatenate(list(s.encode_iter(pieces)), axis=0)
+    want = s.encode(audio)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("frames", [40, 97, 16])
+def test_streaming_decode_matches_batch(frames):
+    rng = np.random.default_rng(2)
+    spec = rng.standard_normal((frames, 96, 2))
+    batch = Phase(PhaseConfig(**CFG))
+    want = np.asarray(batch.decode(spec))
+    s = StreamingPhase(PhaseConfig(**CFG), chunk_frames=16)
+    got = s.decode(spec)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_streaming_roundtrip_correlation():
+    sr = 48000
+    cfg = PhaseConfig(num_freqs=768, window=1280, resolut=4096)
+    t = np.arange(pad_length(2 * sr, 1280)) / sr
+    audio = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 2000 * t)
+    s = StreamingPhase(cfg, chunk_frames=24)
+    rec = s.decode(s.encode(audio))
+    n = min(len(rec), len(audio))
+    corr = np.corrcoef(audio[4096:n - 4096], rec[4096:n - 4096])[0, 1]
+    assert corr > 0.999
+
+
+def test_streaming_memory_is_bounded():
+    # the streamer never holds more than ~chunk worth of samples
+    s = StreamingPhase(PhaseConfig(**CFG), chunk_frames=8)
+    total = 0
+    for out in s.encode_iter(_sig(300) for _ in range(200)):
+        total += out.shape[0]
+    padded = pad_length(300 * 200, 64)
+    expected_frames = (padded - 256) // 64 + 1
+    assert total == expected_frames
