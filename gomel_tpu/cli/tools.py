@@ -149,9 +149,11 @@ def fromphase(argv: Optional[Sequence[str]] = None) -> int:
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     """Multiplexed entry: ``gomel-tpu <tool> [args...]``."""
+    from .batch import batch_tomel, batch_tophase
     argv = list(sys.argv[1:] if argv is None else argv)
     tools = {"tomel": tomel, "towav": towav,
-             "tophase": tophase, "fromphase": fromphase}
+             "tophase": tophase, "fromphase": fromphase,
+             "batch-tomel": batch_tomel, "batch-tophase": batch_tophase}
     if not argv or argv[0] not in tools:
         print(f"Usage: gomel-tpu {{{','.join(tools)}}} <args>", file=sys.stderr)
         return 1

@@ -3,6 +3,7 @@ long-form variants."""
 from .mel import Mel
 from .phase import Phase
 from .longform import LongFormMel, LongFormPhase
-from .streaming import StreamingPhase
+from .streaming import StreamingMel, StreamingPhase
 
-__all__ = ["Mel", "Phase", "LongFormMel", "LongFormPhase", "StreamingPhase"]
+__all__ = ["Mel", "Phase", "LongFormMel", "LongFormPhase",
+           "StreamingMel", "StreamingPhase"]

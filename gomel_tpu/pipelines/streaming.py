@@ -25,9 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.config import PhaseConfig
+from ..core.config import MelConfig, PhaseConfig
+from ..core.filterbank import mel_weights
 from ..core.framing import pad_length
 from ..ops.istft import normalize_by_window_sum, overlap_add, window_sum
+from ..ops.mel_ops import mel_encode
 from ..ops.phase_ops import grow_half_planes, phase_encode
 from ..ops.fftbackend import irfft_planes
 from ..ops.stft import hann_window
@@ -178,3 +180,59 @@ class StreamingPhase:
         if self.config.volume_boost != 0.0:
             out = out * self.config.volume_boost
         return out
+
+
+class StreamingMel:
+    """Chunked mel ENCODER: log-mel features for arbitrarily long audio in
+    O(chunk) memory (the feature-extraction side of the mel codec;
+    Griffin-Lim decoding is inherently whole-signal-iterative — use
+    pipelines.longform.LongFormMel to scale decoding instead)."""
+
+    def __init__(self, config: MelConfig | None = None,
+                 chunk_frames: int = 512, dtype=jnp.float32):
+        self.config = config or MelConfig()
+        c = self.config
+        if chunk_frames < 1:
+            raise ValueError("chunk_frames must be >= 1")
+        self.chunk_frames = chunk_frames
+        self.dtype = dtype
+        self._hop = c.window
+        self._frame_len = c.resolut
+        self._halo = c.resolut - c.window
+        self._chunk_samples = chunk_frames * self._hop
+        window = jnp.asarray(hann_window(c.resolut), dtype)
+        fwd = jnp.asarray(
+            mel_weights(c.n_bins, c.num_mels, c.mel_fmin, c.mel_fmax), dtype)
+
+        @jax.jit
+        def _enc(x):
+            return mel_encode(x, c.num_mels, c.resolut, c.window, fwd, window)
+
+        self._enc = _enc
+
+    def encode_iter(self, samples: Iterable[np.ndarray],
+                    pad: bool = True) -> Iterator[np.ndarray]:
+        """Stream of sample arrays -> stream of [<=chunk_frames, M, 2]
+        log-mel chunks; concatenation equals the batch encoder."""
+        need = self._chunk_samples + self._halo
+        buf = np.zeros(0, dtype=np.float64)
+        total = 0
+        for part in samples:
+            part = np.asarray(part, dtype=np.float64).reshape(-1)
+            total += len(part)
+            buf = np.concatenate([buf, part])
+            while len(buf) >= need:
+                yield np.asarray(self._enc(
+                    jnp.asarray(buf[:need], dtype=self.dtype)))
+                buf = buf[self._chunk_samples:]
+        extra = (pad_length(total, self._hop) - total) if pad else 0
+        tail = np.concatenate([buf, np.zeros(extra)])
+        n_frames = (len(tail) - self._frame_len) // self._hop + 1
+        if n_frames > 0:
+            x = np.zeros(need)
+            x[: len(tail)] = tail
+            out = np.asarray(self._enc(jnp.asarray(x, dtype=self.dtype)))
+            yield out[:n_frames]
+
+    def encode(self, audio: np.ndarray) -> np.ndarray:
+        return np.concatenate(list(self.encode_iter([audio])), axis=0)

@@ -77,3 +77,46 @@ def test_main_dispatch(wav_file, tmp_path):
                        "-o", str(tmp_path / "d.png")]) == 0
     assert tools.main(["bogus"]) == 1
     assert tools.main([]) == 1
+
+
+def test_batch_tomel_and_tophase(tmp_path):
+    from gomel_tpu.cli.batch import batch_tomel, batch_tophase
+    from gomel_tpu.io import imagecodec
+    rng = np.random.default_rng(5)
+    sr = 48000
+    d = tmp_path / "audio"
+    d.mkdir()
+    lens = [sr // 2, sr // 3, sr]
+    for i, n in enumerate(lens):
+        t = np.arange(n) / sr
+        save_wav(str(d / f"u{i}.wav"), 0.4 * np.sin(2 * np.pi * (200 + 100 * i) * t), sr)
+    out = tmp_path / "png"
+    rc = batch_tomel([str(d), "--out-dir", str(out), "--window", "256",
+                      "--resolut", "1024", "--num-mels", "32",
+                      "--max-batch", "2"])
+    assert rc == 0
+    assert sorted(p.name for p in out.iterdir()) == [
+        "u0.wav.png", "u1.wav.png", "u2.wav.png"]
+    # per-file metadata preserved: decode one and check true length recovery
+    spec, samples, got_sr = imagecodec.load_mel_image(
+        str(out / "u2.wav.png"), True)
+    assert got_sr == pytest.approx(sr, rel=1e-2)
+    assert samples == pytest.approx(lens[2], rel=2e-3)
+
+    out2 = tmp_path / "png2"
+    # family num_freqs (768) must fit resolut/2 -> use resolut 2048
+    rc = batch_tophase([str(d), "--out-dir", str(out2), "--window", "256",
+                        "--resolut", "2048", "--max-batch", "2"])
+    assert rc == 0
+    assert len(list(out2.iterdir())) == 3
+    # batched phase PNG decodes like a single-file one
+    from gomel_tpu import Phase, PhaseConfig
+    ph = Phase(PhaseConfig(num_freqs=768, window=256, resolut=2048,
+                           y_reverse=True))
+    wav = str(tmp_path / "rec.wav")
+    ph.to_wav_png(str(out2 / "u0.wav.png"), wav)
+    rec, _ = load_wav(wav)
+    orig, _ = load_wav(str(d / "u0.wav"))
+    n = min(len(rec), len(orig))
+    corr = np.corrcoef(orig[2048:n - 2048], rec[2048:n - 2048])[0, 1]
+    assert corr > 0.99

@@ -67,3 +67,16 @@ def test_streaming_memory_is_bounded():
     padded = pad_length(300 * 200, 64)
     expected_frames = (padded - 256) // 64 + 1
     assert total == expected_frames
+
+
+def test_streaming_mel_matches_batch():
+    from gomel_tpu.core.config import MelConfig
+    from gomel_tpu.pipelines.mel import Mel
+    from gomel_tpu.pipelines.streaming import StreamingMel
+    cfg = MelConfig(num_mels=24, window=64, resolut=256)
+    audio = _sig(13000, seed=4)
+    want = np.asarray(Mel(cfg).encode(audio))
+    s = StreamingMel(cfg, chunk_frames=16)
+    got = np.concatenate(list(s.encode_iter(np.array_split(audio, 5))), axis=0)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
