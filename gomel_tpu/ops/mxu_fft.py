@@ -107,7 +107,7 @@ def rfft(x: jax.Array, n: int, precision=None
     interior Griffin-Lim iterations), ruinous after log() on quiet bins.
     """
     PREC = precision if precision is not None else globals()["PREC"]
-    n1, n2, (w2r, w2i), (twr, twi), (w1r, w1i) = _fwd_consts(n)
+    n1, n2, (w2r, w2i), (twr, twi), (w1r, w1i) = _fwd_consts(n, x.dtype)
     lead = x.shape[:-1]
     xm = x.reshape(lead + (n2, n1)).swapaxes(-1, -2)           # [.., n1, n2]
     yr = jnp.matmul(xm, w2r, precision=PREC)
@@ -153,7 +153,7 @@ def irfft(re_h: jax.Array, im_h: jax.Array, n: int,
       x[n1 + N1*n2] = Re( sum_{k1} B[n1, k1] * Wc_{N2}^{k1 n2} ) / N
     """
     PREC = precision if precision is not None else globals()["PREC"]
-    n1, n2, (w2r, w2i), (twr, twi), (w1r, w1i) = _inv_consts(n)
+    n1, n2, (w2r, w2i), (twr, twi), (w1r, w1i) = _inv_consts(n, re_h.dtype)
     re, im = _full_from_half(re_h, im_h, n)
     lead = re.shape[:-1]
     # k = k1 + N2*k2: slow index k2 -> reshape to [k2, k1]

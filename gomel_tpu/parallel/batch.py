@@ -15,8 +15,7 @@ frame-sharded path, parallel/sharded.py).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +61,8 @@ def make_buckets(utterances: Sequence[np.ndarray], hop: int,
         while bucket_boundaries[-1] < longest:
             bucket_boundaries.append(
                 pad_length(bucket_boundaries[-1] * 2, hop))
+    else:
+        bucket_boundaries = sorted(bucket_boundaries)
     groups: dict[int, list[int]] = {}
     for i, u in enumerate(utterances):
         ref_len = pad_length(len(u), hop)
@@ -134,26 +135,34 @@ class BatchedMel:
             return arr
         return jax.device_put(arr, NamedSharding(self.mesh, P(DATA_AXIS)))
 
+    def _pad_rows(self, arr):
+        """Pad the batch dim to the data-axis multiple; return (arr, B)."""
+        n_data = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        b = arr.shape[0]
+        target = -(-b // n_data) * n_data
+        if target != b:
+            arr = jnp.pad(arr, ((0, target - b),) + ((0, 0),) * (arr.ndim - 1))
+        return arr, b
+
     def encode(self, audio_batch) -> jax.Array:
-        """[B, L_pad] -> [B, F, num_mels, 2] log-mel."""
-        xb = self._shard(jnp.asarray(audio_batch, dtype=self.dtype))
-        return self._encode(xb)
+        """[B, L_pad] -> [B, F, num_mels, 2] log-mel (any B: padded
+        internally to the mesh's data-axis multiple)."""
+        xb, b = self._pad_rows(jnp.asarray(audio_batch, dtype=self.dtype))
+        return self._encode(self._shard(xb))[:b]
 
     def decode(self, logmel_batch, seed: int = 0) -> jax.Array:
         """[B, F, num_mels, 2] -> [B, out_len] via Griffin-Lim."""
-        mb = self._shard(jnp.asarray(logmel_batch, dtype=self.dtype))
+        mb, b = self._pad_rows(jnp.asarray(logmel_batch, dtype=self.dtype))
         keys = jax.random.split(jax.random.PRNGKey(seed), mb.shape[0])
-        return self._decode(mb, self._shard(keys))
+        return self._decode(self._shard(mb), self._shard(keys))[:b]
 
     def encode_buckets(self, utterances: Sequence[np.ndarray],
                        max_batch: int = 64):
         """Variable-length utterances -> list of (bucket, logmel) preserving
         input order via bucket.indices."""
-        n_data = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
         out = []
         for bucket in make_buckets(utterances, self.config.window, max_batch):
-            padded = pad_batch_to_multiple(bucket, n_data)
-            out.append((bucket, self.encode(padded.audio)[: len(bucket.indices)]))
+            out.append((bucket, self.encode(bucket.audio)))
         return out
 
 
@@ -179,12 +188,21 @@ class BatchedPhase:
             return arr
         return jax.device_put(arr, NamedSharding(self.mesh, P(DATA_AXIS)))
 
+    def _pad_rows(self, arr):
+        n_data = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        b = arr.shape[0]
+        target = -(-b // n_data) * n_data
+        if target != b:
+            arr = jnp.pad(arr, ((0, target - b),) + ((0, 0),) * (arr.ndim - 1))
+        return arr, b
+
     def encode(self, audio_batch) -> jax.Array:
-        """[B, L_pad] -> [B, F, num_freqs, 2]."""
-        xb = self._shard(jnp.asarray(audio_batch, dtype=self.dtype))
-        return self._encode(xb)
+        """[B, L_pad] -> [B, F, num_freqs, 2] (any B: padded internally to
+        the mesh's data-axis multiple)."""
+        xb, b = self._pad_rows(jnp.asarray(audio_batch, dtype=self.dtype))
+        return self._encode(self._shard(xb))[:b]
 
     def decode(self, spec_batch) -> jax.Array:
         """[B, F, num_freqs, 2] -> [B, out_len]."""
-        sb = self._shard(jnp.asarray(spec_batch, dtype=self.dtype))
-        return self._decode(sb)
+        sb, b = self._pad_rows(jnp.asarray(spec_batch, dtype=self.dtype))
+        return self._decode(self._shard(sb))[:b]

@@ -205,15 +205,20 @@ def _specs(mesh: Mesh):
 
 
 def sharded_stft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32):
-    """Build a jitted [B, F_pad*hop] -> [B, F_pad, N/2+1] sharded STFT."""
+    """Build a jitted [B, F_pad*hop] -> (re, im) sharded STFT, each plane
+    [B, F_pad, N/2+1].
+
+    Real/imag planes, not complex64 — complex arrays cannot leave the device
+    on the axon transport (CLAUDE.md) and the sibling kernels are all
+    plane-based."""
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
     sig_spec, spec_spec = _specs(mesh)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(sig_spec,),
-        out_specs=P(DATA_AXIS, FRAME_AXIS, None))
+        out_specs=(P(DATA_AXIS, FRAME_AXIS, None),) * 2)
     def _fn(x):
-        return _local_stft(x, window, plan)
+        return _local_stft_planes(x, window, plan)
 
     return jax.jit(_fn)
 

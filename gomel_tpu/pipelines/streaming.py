@@ -18,8 +18,7 @@ Parity targets: phase/phase.go:41-153 buffer semantics, chunked.
 """
 from __future__ import annotations
 
-import functools
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import jax
 import jax.numpy as jnp
@@ -28,11 +27,76 @@ import numpy as np
 from ..core.config import MelConfig, PhaseConfig
 from ..core.filterbank import mel_weights
 from ..core.framing import pad_length
-from ..ops.istft import normalize_by_window_sum, overlap_add, window_sum
+from ..ops.istft import normalize_by_window_sum, overlap_add
 from ..ops.mel_ops import mel_encode
 from ..ops.phase_ops import grow_half_planes, phase_encode
 from ..ops.fftbackend import irfft_planes
 from ..ops.stft import hann_window
+
+
+def _stream_encode(samples, enc, chunk_samples, halo, frame_len, hop,
+                   dtype, pad):
+    """Shared chunked-encode driver: O(1) buffer handling (parts accumulate
+    in a list, one concatenate per chunk) and a multi-chunk final flush (the
+    reference padding can push the tail past one chunk when
+    frame_len % hop != 0)."""
+    need = chunk_samples + halo
+    parts: list = []
+    buffered = 0   # total samples across parts
+    offset = 0     # consumed samples within parts[0]
+    total = 0
+
+    def drain(k):
+        nonlocal parts, buffered, offset
+        out = np.empty(k, dtype=np.float64)
+        got = 0
+        while got < k:
+            head = np.asarray(parts[0], dtype=np.float64).reshape(-1)
+            avail = len(head) - offset
+            take = min(avail, k - got)
+            out[got:got + take] = head[offset:offset + take]
+            got += take
+            offset += take
+            if offset == len(head):
+                parts.pop(0)
+                offset = 0
+        buffered -= k
+        return out
+
+    def peek(k):
+        # copy of the first k samples without consuming
+        saved = (list(parts), buffered, offset)
+        nonlocal_backup = drain(k)
+        restore(saved)
+        return nonlocal_backup
+
+    def restore(saved):
+        nonlocal parts, buffered, offset
+        parts, buffered, offset = list(saved[0]), saved[1], saved[2]
+
+    for part in samples:
+        part = np.asarray(part, dtype=np.float64).reshape(-1)
+        if len(part) == 0:
+            continue
+        total += len(part)
+        parts.append(part)
+        buffered += len(part)
+        while buffered >= need:
+            window = peek(need)
+            yield np.asarray(enc(jnp.asarray(window, dtype=dtype)))
+            drain(chunk_samples)
+    extra = (pad_length(total, hop) - total) if pad else 0
+    tail = np.concatenate(
+        [drain(buffered) if buffered else np.zeros(0), np.zeros(extra)])
+    while len(tail) >= need:
+        yield np.asarray(enc(jnp.asarray(tail[:need], dtype=dtype)))
+        tail = tail[chunk_samples:]
+    n_frames = (len(tail) - frame_len) // hop + 1
+    if n_frames > 0:
+        x = np.zeros(need)
+        x[: len(tail)] = tail
+        out = np.asarray(enc(jnp.asarray(x, dtype=dtype)))
+        yield out[:n_frames]
 
 
 class StreamingPhase:
@@ -95,31 +159,9 @@ class StreamingPhase:
         multiple-of-hop minus one) is applied to the TOTAL stream, matching
         the batch encoder on the concatenated signal.
         """
-        c = self.config
-        need = self._chunk_samples + self._halo
-        buf = np.zeros(0, dtype=np.float64)
-        total = 0
-        for part in samples:
-            part = np.asarray(part, dtype=np.float64).reshape(-1)
-            total += len(part)
-            buf = np.concatenate([buf, part])
-            while len(buf) >= need:
-                x = jnp.asarray(buf[:need], dtype=self.dtype)
-                yield np.asarray(self._enc(x))
-                buf = buf[self._chunk_samples:]
-        if pad:
-            padded_total = pad_length(total, self._hop)
-            extra = padded_total - total
-        else:
-            extra = 0
-        tail = np.concatenate([buf, np.zeros(extra)])
-        # frames fully contained in the remaining tail
-        n_frames = (len(tail) - self._frame_len) // self._hop + 1
-        if n_frames > 0:
-            x = np.zeros(need)
-            x[: len(tail)] = tail
-            out = np.asarray(self._enc(jnp.asarray(x, dtype=self.dtype)))
-            yield out[:n_frames]
+        yield from _stream_encode(samples, self._enc, self._chunk_samples,
+                                  self._halo, self._frame_len, self._hop,
+                                  self.dtype, pad)
 
     def encode(self, audio: np.ndarray) -> np.ndarray:
         """Whole-array convenience wrapper (still chunked device calls)."""
@@ -159,8 +201,11 @@ class StreamingPhase:
             if last:
                 out_sig = np.concatenate([out_sig, carry_sig])
                 out_w = np.concatenate([out_w, carry_w])
-            return np.asarray(normalize_by_window_sum(
+            out = np.asarray(normalize_by_window_sum(
                 jnp.asarray(out_sig), jnp.asarray(out_w), self._threshold))
+            if self.config.volume_boost != 0.0:
+                out = out * self.config.volume_boost
+            return out
 
         for spec in specs:
             spec = np.asarray(spec, dtype=np.float64)
@@ -176,10 +221,7 @@ class StreamingPhase:
 
     def decode(self, spec: np.ndarray) -> np.ndarray:
         """Whole-array convenience wrapper (still chunked device calls)."""
-        out = np.concatenate(list(self.decode_iter([spec])))
-        if self.config.volume_boost != 0.0:
-            out = out * self.config.volume_boost
-        return out
+        return np.concatenate(list(self.decode_iter([spec])))
 
 
 class StreamingMel:
@@ -214,25 +256,9 @@ class StreamingMel:
                     pad: bool = True) -> Iterator[np.ndarray]:
         """Stream of sample arrays -> stream of [<=chunk_frames, M, 2]
         log-mel chunks; concatenation equals the batch encoder."""
-        need = self._chunk_samples + self._halo
-        buf = np.zeros(0, dtype=np.float64)
-        total = 0
-        for part in samples:
-            part = np.asarray(part, dtype=np.float64).reshape(-1)
-            total += len(part)
-            buf = np.concatenate([buf, part])
-            while len(buf) >= need:
-                yield np.asarray(self._enc(
-                    jnp.asarray(buf[:need], dtype=self.dtype)))
-                buf = buf[self._chunk_samples:]
-        extra = (pad_length(total, self._hop) - total) if pad else 0
-        tail = np.concatenate([buf, np.zeros(extra)])
-        n_frames = (len(tail) - self._frame_len) // self._hop + 1
-        if n_frames > 0:
-            x = np.zeros(need)
-            x[: len(tail)] = tail
-            out = np.asarray(self._enc(jnp.asarray(x, dtype=self.dtype)))
-            yield out[:n_frames]
+        yield from _stream_encode(samples, self._enc, self._chunk_samples,
+                                  self._halo, self._frame_len, self._hop,
+                                  self.dtype, pad)
 
     def encode(self, audio: np.ndarray) -> np.ndarray:
         return np.concatenate(list(self.encode_iter([audio])), axis=0)

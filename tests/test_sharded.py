@@ -49,11 +49,11 @@ def test_sharded_stft_matches_unsharded(mesh):
     x = _sig(L)
     plan = _plan_for(L)
     xp = sh.pad_signal_for_plan(jnp.asarray(x), plan)
-    got = sh.sharded_stft_fn(mesh, plan)(xp)[:, : plan.n_frames]
-    want = jax.vmap(lambda s: stft(jnp.asarray(s), FRAME_LEN, HOP))(
-        jnp.asarray(x))
-    np.testing.assert_allclose(np.abs(np.asarray(got) - np.asarray(want)),
-                               0, atol=1e-4)
+    re, im = sh.sharded_stft_fn(mesh, plan)(xp)
+    got = np.asarray(re)[:, : plan.n_frames] + 1j * np.asarray(im)[:, : plan.n_frames]
+    want = np.asarray(jax.vmap(lambda s: stft(jnp.asarray(s), FRAME_LEN, HOP))(
+        jnp.asarray(x)))
+    np.testing.assert_allclose(np.abs(got - want), 0, atol=1e-4)
 
 
 def test_sharded_istft_matches_unsharded(mesh):

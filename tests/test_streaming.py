@@ -80,3 +80,29 @@ def test_streaming_mel_matches_batch():
     got = np.concatenate(list(s.encode_iter(np.array_split(audio, 5))), axis=0)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_streaming_tail_larger_than_chunk_regression():
+    # reference padding can push the final tail past one chunk when
+    # resolut % window != 0 (flagship 4096/1280), and short streams with
+    # tiny chunks hit the same path
+    s = StreamingPhase(PhaseConfig(num_freqs=768, window=1280, resolut=4096),
+                       chunk_frames=512)
+    out = s.encode(np.random.default_rng(0).standard_normal(658175))
+    padded = pad_length(658175, 1280)
+    assert out.shape[0] == (padded - 4096) // 1280 + 1
+
+    s2 = StreamingPhase(PhaseConfig(**CFG), chunk_frames=4)
+    out2 = s2.encode(np.random.default_rng(1).standard_normal(100))
+    batch = Phase(PhaseConfig(**CFG))
+    want = np.asarray(batch.encode(np.random.default_rng(1).standard_normal(100)))
+    assert out2.shape == want.shape
+
+
+def test_decode_iter_applies_volume_boost():
+    cfg = PhaseConfig(volume_boost=2.0, **CFG)
+    spec = np.random.default_rng(3).standard_normal((40, 96, 2))
+    s = StreamingPhase(cfg, chunk_frames=16)
+    via_iter = np.concatenate(list(s.decode_iter([spec])))
+    want = np.asarray(Phase(cfg).decode(spec))
+    np.testing.assert_allclose(via_iter, want, atol=5e-4, rtol=2e-3)
