@@ -82,8 +82,12 @@ def load_flac(path: str, mono: str = "mean", scaling: str = "phase") -> tuple[np
 def save_wav(path: str, audio: np.ndarray, sample_rate: int, clip: bool = True) -> None:
     """Save mono 16-bit PCM WAV. Clips to [-1, 1] like the port
     (/root/reference/phase.py:592-605); float->int16 uses libsndfile's
-    scale-by-32768 with saturation."""
+    scale-by-32768 with saturation. Non-finite samples raise (the reference
+    design doc's error contract, design.md "Numerical Issues"; the port
+    itself would silently write garbage)."""
     audio = np.asarray(audio, dtype=np.float64)
+    if not np.isfinite(audio).all():
+        raise ValueError("audio contains NaN/Inf samples")
     if clip:
         audio = np.clip(audio, -1.0, 1.0)
     pcm = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)

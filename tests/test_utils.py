@@ -51,3 +51,15 @@ def test_logger_json_mode(capsys):
     log_event("test_event", foo=1)
     # second call reuses handlers
     assert get_logger() is logger
+
+
+def test_save_wav_rejects_nonfinite(tmp_path):
+    import pytest
+    from gomel_tpu.io.audio import save_wav
+    bad = np.zeros(100)
+    bad[50] = np.nan
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        save_wav(str(tmp_path / "bad.wav"), bad, 16000)
+    bad[50] = np.inf
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        save_wav(str(tmp_path / "bad2.wav"), bad, 16000)
