@@ -138,3 +138,29 @@ def test_sharded_griffin_lim_nondivisible_frame_hop(mesh):
         sh.pad_frames_for_plan(spec, plan))[:, : plan.out_len]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_griffin_lim_64_iterations(mesh):
+    """The BASELINE 'long-form, 64-iteration Griffin-Lim, frame-sharded'
+    config: state stays shard-resident across the fori_loop; result is
+    finite and consistent with the unsharded kernel."""
+    L = FRAME_LEN + 37 * HOP
+    x = _sig(L, b=2, seed=9)
+    plan = _plan_for(L)
+    spec = jax.vmap(lambda s: stft(s, FRAME_LEN, HOP))(jnp.asarray(x))
+    mag = jnp.abs(spec)
+    init = jnp.asarray(
+        np.random.default_rng(11).random((2, plan.sharded_signal_len)),
+        dtype=jnp.float32)
+    win = jnp.asarray(hann_window(FRAME_LEN), dtype=jnp.float32)
+    want = jax.vmap(lambda m, s0: griffin_lim(
+        m, HOP, 64, jax.random.PRNGKey(0), win, init=s0[: plan.out_len]))(
+        mag, init)
+    got = sh.sharded_griffin_lim_fn(mesh, plan, 64)(
+        sh.pad_frames_for_plan(mag, plan), init)[:, : plan.out_len]
+    g = np.asarray(got)
+    assert np.isfinite(g).all()
+    # 64 low-precision iterations accumulate small drift vs the unsharded
+    # (also low-precision, but differently-ordered) loop
+    denom = np.abs(np.asarray(want)).max()
+    assert np.abs(g - np.asarray(want)).max() / denom < 0.02
