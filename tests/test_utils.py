@@ -63,3 +63,17 @@ def test_save_wav_rejects_nonfinite(tmp_path):
     bad[50] = np.inf
     with pytest.raises(ValueError, match="NaN/Inf"):
         save_wav(str(tmp_path / "bad2.wav"), bad, 16000)
+
+
+def test_device_trace_writes_profile(tmp_path):
+    import os
+    import jax.numpy as jnp
+    from gomel_tpu.utils.profiling import annotate, device_trace
+    logdir = str(tmp_path / "trace")
+    with device_trace(logdir):
+        with annotate("test_region"):
+            jnp.ones(128).sum().block_until_ready()
+    found = []
+    for root, _, names in os.walk(logdir):
+        found.extend(names)
+    assert found  # a trace artifact was written
