@@ -20,7 +20,7 @@ from ..core.framing import frames_for_padded
 from ..io import imagecodec
 from ..io.dataset import AudioDataset, list_audio_files
 from ..ops.resample import zero_stuff_upsample
-from ..parallel.batch import BatchedMel, BatchedPhase, make_buckets
+from ..parallel.batch import BatchedMel, BatchedPhase
 
 
 def _collect(paths: Sequence[str]) -> List[str]:
@@ -33,12 +33,28 @@ def _collect(paths: Sequence[str]) -> List[str]:
     return files
 
 
-def _out_path(path: str, out_dir: Optional[str]) -> str:
+def _out_path(path: str, out_dir: Optional[str],
+              used: Optional[set] = None) -> str:
+    """Output path; with --out-dir, basename collisions between inputs from
+    different directories are disambiguated (name-1.png, name-2.png, ...)."""
     base = path + ".png"
-    if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
-        return os.path.join(out_dir, os.path.basename(base))
-    return base
+    if not out_dir:
+        return base
+    os.makedirs(out_dir, exist_ok=True)
+    name = os.path.basename(base)
+    if used is not None:
+        candidate = name
+        k = 0
+        while candidate in used:
+            k += 1
+            stem, ext = os.path.splitext(name)
+            candidate = f"{stem}-{k}{ext}"
+        if k:
+            print(f"warning: basename collision, writing {candidate}",
+                  file=sys.stderr)
+        used.add(candidate)
+        name = candidate
+    return os.path.join(out_dir, name)
 
 
 def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
@@ -60,12 +76,13 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
     if not files:
         print("no input files", file=sys.stderr)
         return 1
-    ds = AudioDataset(files, mono="left", flac_scaling="mel",
+    ds = AudioDataset(files, mono="go_concat", flac_scaling="mel",
                       num_workers=a.workers)
     items = [(path, buf, sr) for path, buf, sr in ds]
     bm = BatchedMel(cfg)
     utts = [np.asarray(buf, np.float32) for _, buf, _ in items]
     n_done = 0
+    used: set = set()
     for bucket, logmel in bm.encode_buckets(utts, max_batch=a.max_batch):
         spec_np = np.asarray(logmel, dtype=np.float64)
         for row, i in enumerate(bucket.indices):
@@ -73,7 +90,7 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
             f = frames_for_padded(len(buf), cfg.window, cfg.resolut)
             spec = spec_np[row, :f]
             imagecodec.save_mel_image(
-                _out_path(path, a.out_dir), spec, cfg.y_reverse,
+                _out_path(path, a.out_dir, used), spec, cfg.y_reverse,
                 float(len(buf)) / f, float(sr))
             n_done += 1
     print(f"encoded {n_done} files", file=sys.stderr)
@@ -114,12 +131,13 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
         groups.setdefault(nf, []).append((path, buf, original, sr))
 
     n_done = 0
+    used: set = set()
     for nf, items in groups.items():
         cfg = PhaseConfig(num_freqs=nf, window=a.window, resolut=a.resolut,
                           y_reverse=True, ihs=a.ihs, hdr=a.hdr)
         bp = BatchedPhase(cfg)
         utts = [np.asarray(buf, np.float32) for _, buf, _, _ in items]
-        for bucket, spec in _encode_phase_buckets(bp, utts, a.max_batch):
+        for bucket, spec in bp.encode_buckets(utts, max_batch=a.max_batch):
             spec_np = np.asarray(spec, dtype=np.float64)
             for row, i in enumerate(bucket.indices):
                 path, buf, original, sr = items[i]
@@ -128,14 +146,10 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
                 # samples_in_mel uses the PRE-upsample length (Go semantics,
                 # phase/phase.go:202-215)
                 imagecodec.save_phase_image(
-                    _out_path(path, a.out_dir), s, cfg.y_reverse,
+                    _out_path(path, a.out_dir, used), s, cfg.y_reverse,
                     float(original) / f, float(sr), cfg.ihs_passes, cfg.hdr,
                     layout="go")
                 n_done += 1
     print(f"encoded {n_done} files", file=sys.stderr)
     return 0
 
-
-def _encode_phase_buckets(bp: BatchedPhase, utts, max_batch):
-    for bucket in make_buckets(utts, bp.config.window, max_batch):
-        yield bucket, bp.encode(bucket.audio)[: len(bucket.indices)]

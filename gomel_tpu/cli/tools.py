@@ -34,6 +34,7 @@ def _route_audio_input(filename: str) -> tuple[str, str]:
 
 
 def _mel_parser(prog: str, png_input: bool) -> argparse.ArgumentParser:
+    d = MelConfig.cli_default()   # single source of the reference CLI params
     p = argparse.ArgumentParser(prog=prog)
     p.add_argument("filename",
                    help="PNG file" if png_input else
@@ -44,12 +45,13 @@ def _mel_parser(prog: str, png_input: bool) -> argparse.ArgumentParser:
         p.add_argument("--seed", type=int, default=0,
                        help="Griffin-Lim PRNG seed")
     p.add_argument("--output", "-o", default=None, help="output path")
-    p.add_argument("--num-mels", type=int, default=192)
-    p.add_argument("--window", type=int, default=1280)
-    p.add_argument("--resolut", type=int, default=4096)
-    p.add_argument("--fmax", type=float, default=16000.0)
-    p.add_argument("--griffin-lim-iterations", type=int, default=2)
-    p.add_argument("--volume-boost", type=float, default=0.0)
+    p.add_argument("--num-mels", type=int, default=d.num_mels)
+    p.add_argument("--window", type=int, default=d.window)
+    p.add_argument("--resolut", type=int, default=d.resolut)
+    p.add_argument("--fmax", type=float, default=d.mel_fmax)
+    p.add_argument("--griffin-lim-iterations", type=int,
+                   default=d.griffin_lim_iterations)
+    p.add_argument("--volume-boost", type=float, default=d.volume_boost)
     return p
 
 
@@ -92,15 +94,16 @@ def towav(argv: Optional[Sequence[str]] = None) -> int:
 
 
 def _phase_parser(prog: str, png_input: bool) -> argparse.ArgumentParser:
+    d = PhaseConfig.cli_default()  # single source of the reference CLI params
     p = argparse.ArgumentParser(prog=prog)
     p.add_argument("filename",
                    help="PNG file" if png_input else
                    "audio file (.wav/.flac; bare name implies .wav)")
     p.add_argument("--output", "-o", default=None, help="output path")
-    p.add_argument("--num-freqs", type=int, default=768 * 2)
-    p.add_argument("--window", type=int, default=1280)
-    p.add_argument("--resolut", type=int, default=4096)
-    p.add_argument("--volume-boost", type=float, default=0.0)
+    p.add_argument("--num-freqs", type=int, default=d.num_freqs)
+    p.add_argument("--window", type=int, default=d.window)
+    p.add_argument("--resolut", type=int, default=d.resolut)
+    p.add_argument("--volume-boost", type=float, default=d.volume_boost)
     p.add_argument("--ihs", action="store_true")
     p.add_argument("--hdr", action="store_true")
     if png_input:

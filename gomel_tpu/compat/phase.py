@@ -86,12 +86,19 @@ class Phase:
 
     # -- core transforms (phase.py:113-220) --------------------------------
     def _engine(self) -> _TpuPhase:
+        key = (self.num_freqs, self.window, self.resolut, self.y_reverse,
+               self.volume_boost, self.HDR)
+        cached = getattr(self, "_engine_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         cfg = PhaseConfig(
             num_freqs=self.num_freqs, window=self.window,
             resolut=self.resolut, y_reverse=self.y_reverse,
             volume_boost=self.volume_boost if self.volume_boost > 0 else 0.0,
             hdr=self.HDR)
-        return _TpuPhase(cfg, metadata_layout="py", length_mode="py")
+        eng = _TpuPhase(cfg, metadata_layout="py", length_mode="py")
+        self._engine_cache = (key, eng)
+        return eng
 
     def to_phase(self, audio_buffer):
         """audio -> flattened [frames*num_freqs, 2] float64 (phase.py:113-142)."""
@@ -254,4 +261,5 @@ def load_image(file_path, y_reverse=True, hdr=False, ihs=0):
     num_freqs) (phase.py:750-852)."""
     spec, samples, sr, nf = _imagecodec.load_phase_image(
         file_path, y_reverse, ihs, hdr, layout="py")
-    return spec.reshape(-1, 2), samples, sr, nf
+    # the port returns int(metadata[5]) (phase.py:821)
+    return spec.reshape(-1, 2), samples, int(sr), nf

@@ -1,8 +1,10 @@
-"""ctypes loader/builder for the native PNG filter helper (native/pngfilter.cpp).
+"""Shared ctypes loader/builder for the native C++ helpers in native/.
 
-Builds the shared object on first use with g++ (baked into the image); falls
-back to None if the toolchain is unavailable — pngcodec.py then uses its pure
-numpy/Python path.
+``NativeLib`` builds a shared object from source on first use with g++ (baked
+into the image) and configures its symbol signatures; it returns None when
+the toolchain or build fails, letting callers fall back to their pure-Python
+paths. One instance per helper (PNG filters here, FLAC in io/flac.py) keeps
+the build/mtime/retry policy in a single place.
 """
 from __future__ import annotations
 
@@ -11,51 +13,61 @@ import os
 import subprocess
 import threading
 
-_lock = threading.Lock()
-_lib = None
-_tried = False
-
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "pngfilter.cpp")
-_SO = os.path.join(_REPO_ROOT, "native", "_pngfilter.so")
 
 
-def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+class NativeLib:
+    """Lazy build-and-load of one native helper."""
+
+    def __init__(self, src_name: str, so_name: str, configure):
+        self._src = os.path.join(_REPO_ROOT, "native", src_name)
+        self._so = os.path.join(_REPO_ROOT, "native", so_name)
+        self._configure = configure
+        self._lock = threading.Lock()
+        self._lib = None
+        self._tried = False
+
+    def get(self):
+        """Return the loaded ctypes library, building if needed, or None."""
+        with self._lock:
+            if self._lib is not None or self._tried:
+                return self._lib
+            self._tried = True
+            try:
+                if not os.path.exists(self._so) or (
+                    os.path.exists(self._src)
+                    and os.path.getmtime(self._src) > os.path.getmtime(self._so)
+                ):
+                    if not os.path.exists(self._src):
+                        return None
+                    subprocess.run(
+                        ["g++", "-O3", "-shared", "-fPIC",
+                         "-o", self._so, self._src],
+                        check=True, capture_output=True, timeout=120)
+                lib = ctypes.CDLL(self._so)
+                self._configure(lib)
+                self._lib = lib
+            except Exception:
+                self._lib = None
+            return self._lib
+
+
+def _configure_pngfilter(lib):
+    lib.png_unfilter.restype = ctypes.c_int
+    lib.png_unfilter.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_long, ctypes.c_long, ctypes.c_int,
+    ]
+    lib.png_filter_up.restype = None
+    lib.png_filter_up.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_long, ctypes.c_long,
+    ]
+
+
+_pngfilter = NativeLib("pngfilter.cpp", "_pngfilter.so", _configure_pngfilter)
 
 
 def get_lib():
-    """Return the loaded ctypes library, building it if needed, or None."""
-    global _lib, _tried
-    with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
-        if not os.path.exists(_SO) or (
-            os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-        ):
-            if not (os.path.exists(_SRC) and _build()):
-                return None
-        try:
-            lib = ctypes.CDLL(_SO)
-            lib.png_unfilter.restype = ctypes.c_int
-            lib.png_unfilter.argtypes = [
-                ctypes.c_void_p, ctypes.c_void_p,
-                ctypes.c_long, ctypes.c_long, ctypes.c_int,
-            ]
-            lib.png_filter_up.restype = None
-            lib.png_filter_up.argtypes = [
-                ctypes.c_void_p, ctypes.c_void_p,
-                ctypes.c_long, ctypes.c_long,
-            ]
-            _lib = lib
-        except OSError:
-            _lib = None
-        return _lib
+    """PNG filter helper (pngcodec.py's fast path), or None."""
+    return _pngfilter.get()

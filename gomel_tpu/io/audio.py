@@ -62,6 +62,10 @@ def load_flac(path: str, mono: str = "mean", scaling: str = "phase") -> tuple[np
 
     scaling="phase": 1/32768 integer scaling for 16-bit content (reference
     phase/impl.go:375). scaling="mel": 1/65536 (reference mel/impl.go:290).
+
+    Deliberate divergence (docs/PARITY.md): streams deeper than 16 bits are
+    normalized to full scale; the reference keeps its fixed divisors, leaving
+    24-bit content at +/-256 amplitude — judged a bug, not reproduced.
     """
     from . import flac as flacdec
     try:

@@ -14,50 +14,30 @@ real-world files.
 from __future__ import annotations
 
 import ctypes
-import os
 import struct
-import subprocess
-import threading
 
 import numpy as np
 
-_lock = threading.Lock()
-_lib = None
-_tried = False
+from ._native import NativeLib
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "flacdec.cpp")
-_SO = os.path.join(_REPO_ROOT, "native", "_flacdec.so")
+
+def _configure_flac(lib):
+    lib.flac_decode.restype = ctypes.c_int
+    lib.flac_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.flac_free.restype = None
+    lib.flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+
+
+_flaclib = NativeLib("flacdec.cpp", "_flacdec.so", _configure_flac)
 
 
 def _get_lib():
-    global _lib, _tried
-    with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
-        try:
-            if not os.path.exists(_SO) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-            ):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
-                    check=True, capture_output=True, timeout=120)
-            lib = ctypes.CDLL(_SO)
-            lib.flac_decode.restype = ctypes.c_int
-            lib.flac_decode.argtypes = [
-                ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
-                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
-                ctypes.POINTER(ctypes.c_long),
-                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-                ctypes.POINTER(ctypes.c_int)]
-            lib.flac_free.restype = None
-            lib.flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
-            _lib = lib
-        except Exception:
-            _lib = None
-        return _lib
+    return _flaclib.get()
 
 
 def read_flac(path: str, layout: str = "interleaved"

@@ -30,6 +30,17 @@ PY_PHASE_META_BYTES = 12
 MEL_META_BYTES = 8
 
 
+def _at_least_rgb(img: np.ndarray) -> np.ndarray:
+    """Expand grayscale/gray+alpha PNGs to 3 channels (alpha dropped),
+    mirroring Go's image/png->RGBA tolerance for odd color types."""
+    if img.ndim == 2:
+        return np.stack([img] * 3, axis=-1)
+    if img.shape[2] == 2:  # gray + alpha
+        g = img[:, :, 0]
+        return np.stack([g, g, g], axis=-1)
+    return img
+
+
 def _quantize(vals: np.ndarray, max_val: int) -> np.ndarray:
     """uint8(int(max_val * val)) for val in [0, 1]: truncation, clipped."""
     q = np.trunc(max_val * vals)
@@ -87,8 +98,7 @@ def load_mel_image(path: str, y_reverse: bool) -> tuple[np.ndarray, float, float
     (reference ``loadpng``: /root/reference/mel/impl.go:52-118), including the
     legacy guard ``if max == samples_in_mel: samples_in_mel = 0``."""
     img = read_png(path)
-    if img.ndim == 2:
-        img = np.stack([img] * 3, axis=-1)
+    img = _at_least_rgb(img)
     if y_reverse:
         img = img[::-1, :, :]
     mels, n_frames = img.shape[0], img.shape[1]
@@ -172,8 +182,7 @@ def load_phase_image(path: str, y_reverse: bool, ihs_passes: int = 0,
     num_freqs). Reference: /root/reference/phase/impl.go:51-153 (Go layout) and
     /root/reference/phase.py:750-852 (Python layout)."""
     img = read_png(path)
-    if img.ndim == 2:
-        img = np.stack([img] * 3, axis=-1)
+    img = _at_least_rgb(img)
     if y_reverse:
         img = img[::-1, :, :]
     nf, n_frames = img.shape[0], img.shape[1]

@@ -158,12 +158,11 @@ class BatchedMel:
 
     def encode_buckets(self, utterances: Sequence[np.ndarray],
                        max_batch: int = 64):
-        """Variable-length utterances -> list of (bucket, logmel) preserving
-        input order via bucket.indices."""
-        out = []
+        """Variable-length utterances -> generator of (bucket, logmel),
+        one device batch in flight at a time; input order is recoverable via
+        bucket.indices."""
         for bucket in make_buckets(utterances, self.config.window, max_batch):
-            out.append((bucket, self.encode(bucket.audio)))
-        return out
+            yield bucket, self.encode(bucket.audio)
 
 
 class BatchedPhase:
@@ -206,3 +205,9 @@ class BatchedPhase:
         """[B, F, num_freqs, 2] -> [B, out_len]."""
         sb, b = self._pad_rows(jnp.asarray(spec_batch, dtype=self.dtype))
         return self._decode(self._shard(sb))[:b]
+
+    def encode_buckets(self, utterances: Sequence[np.ndarray],
+                       max_batch: int = 64):
+        """Variable-length utterances -> generator of (bucket, spec)."""
+        for bucket in make_buckets(utterances, self.config.window, max_batch):
+            yield bucket, self.encode(bucket.audio)

@@ -55,8 +55,8 @@ def test_python_fallback_matches_native(tmp_path, monkeypatch):
     p1 = str(tmp_path / "nat.png")
     write_png(p1, img)
     native_bytes = open(p1, "rb").read()
-    monkeypatch.setattr(_native, "_lib", None)
-    monkeypatch.setattr(_native, "_tried", True)
+    monkeypatch.setattr(_native._pngfilter, "_lib", None)
+    monkeypatch.setattr(_native._pngfilter, "_tried", True)
     p2 = str(tmp_path / "py.png")
     write_png(p2, img)
     np.testing.assert_array_equal(read_png(p2), img)
