@@ -36,7 +36,10 @@ def frame_signal(x: jax.Array, frame_len: int, hop: int) -> jax.Array:
     """Gather overlapping frames: x [L] -> [F, frame_len] with F = (L-N)//hop + 1.
 
     Hop-reshape trick: pad x to (F+K-1)*hop, view as hop-rows, and stack K
-    shifted row-slices. All shapes static.
+    shifted row-slices. All shapes static. (A lane-aligned ``take``-gather
+    variant measures ~20% faster in isolation but 2% slower once fused with
+    the FFT — XLA fuses static slices into downstream consumers better than
+    gathers — so the slice form stays.)
     """
     L = x.shape[0]
     F = (L - frame_len) // hop + 1
