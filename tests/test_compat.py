@@ -143,3 +143,24 @@ def test_hdr_png_cross_compat_both_directions(tmp_path):
     np.testing.assert_array_equal(o_from_r[0], r_from_r[0])
     np.testing.assert_array_equal(o_from_o[0], o_from_r[0])
     assert o_from_o[1:] == pytest.approx(r_from_r[1:])
+
+
+def test_install_registers_module_aliases():
+    import importlib
+    import subprocess
+    import sys
+    # clean interpreter so the oracle's `phase` import isn't in the way
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import gomel_tpu.compat as c\n"
+        "c.install()\n"
+        "from phase import Phase\n"
+        "import png\n"
+        "p = Phase(sample_rate=48000)\n"
+        "assert p.num_freqs == 768\n"
+        "print('alias ok')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert "alias ok" in out.stdout
