@@ -36,10 +36,11 @@ def _phase():
        n=st.integers(WINDOW * 15, WINDOW * 60))
 def test_p1_roundtrip_preserves_signal(seed, n):
     rng = np.random.default_rng(seed)
-    # band-limited tonal signal (content above num_freqs bins is discarded
-    # by design, so white noise wouldn't round-trip)
+    # band-limited tonal signal: content above num_freqs bins AND below
+    # ~1 bin (DC is dropped — the reference stores spectrum[j+1], never
+    # bin 0) is discarded by design, so keep components in [2, 0.3*NF] bins
     t = np.arange(pad_length(n, WINDOW))
-    freqs = rng.uniform(0.005, 0.3 * NUM_FREQS / (RESOLUT / 2), 4)
+    freqs = rng.uniform(2.0 / (RESOLUT / 2), 0.3 * NUM_FREQS / (RESOLUT / 2), 4)
     audio = sum(a * np.sin(np.pi * f * t + ph) for a, f, ph in
                 zip(rng.uniform(0.1, 0.3, 4), freqs, rng.uniform(0, 7, 4)))
     p = _phase()
