@@ -19,12 +19,18 @@ from .core.config import (
 )
 from .pipelines.mel import Mel
 from .pipelines.phase import Phase
+from .pipelines.longform import LongFormMel, LongFormPhase
+from .pipelines.streaming import StreamingMel, StreamingPhase
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Mel",
     "Phase",
+    "LongFormMel",
+    "LongFormPhase",
+    "StreamingMel",
+    "StreamingPhase",
     "MelConfig",
     "PhaseConfig",
     "GomelError",
