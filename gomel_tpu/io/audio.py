@@ -17,9 +17,9 @@ scipy.io.wavfile and FLAC through our own native decoder
 from __future__ import annotations
 
 import numpy as np
-from scipy.io import wavfile
 
 from ..core.config import FileNotLoadedError
+from . import wavcodec
 
 
 def _to_mono(audio: np.ndarray, mono: str) -> np.ndarray:
@@ -48,7 +48,9 @@ def load_wav(path: str, mono: str = "mean") -> tuple[np.ndarray, int]:
     /root/reference/phase/phase.go:177-183).
     """
     try:
-        sr, audio = wavfile.read(path)
+        audio, sr = wavcodec.read_wav(path)
+    except FileNotFoundError as e:
+        raise FileNotLoadedError(f"could not load wav {path!r}: {e}") from e
     except Exception as e:
         raise FileNotLoadedError(f"could not load wav {path!r}: {e}") from e
     audio = _to_mono(_to_float(audio), mono)
@@ -95,4 +97,4 @@ def save_wav(path: str, audio: np.ndarray, sample_rate: int, clip: bool = True) 
     if clip:
         audio = np.clip(audio, -1.0, 1.0)
     pcm = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
-    wavfile.write(path, int(sample_rate), pcm)
+    wavcodec.write_wav(path, pcm, int(sample_rate))

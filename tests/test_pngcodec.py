@@ -69,3 +69,56 @@ def test_rejects_unsupported(tmp_path):
     with pytest.raises(ValueError):
         write_png(str(tmp_path / "bad.png"),
                   np.zeros((4, 4), dtype=np.float32))
+
+
+class TestWavCodec:
+    """In-tree WAV codec vs scipy (independent implementation) + 24-bit."""
+
+    def test_roundtrip_matches_scipy(self, tmp_path):
+        from scipy.io import wavfile
+        from gomel_tpu.io.wavcodec import read_wav, write_wav
+        rng = np.random.default_rng(0)
+        pcm = rng.integers(-30000, 30000, 5000).astype(np.int16)
+        p1, p2 = str(tmp_path / "ours.wav"), str(tmp_path / "scipy.wav")
+        write_wav(p1, pcm, 48000)
+        wavfile.write(p2, 48000, pcm)
+        sr_s, got_s = wavfile.read(p1)            # scipy reads ours
+        got_o, sr_o = read_wav(p2)                # we read scipy's
+        assert sr_s == sr_o == 48000
+        np.testing.assert_array_equal(got_s, pcm)
+        np.testing.assert_array_equal(got_o, pcm)
+
+    def test_stereo_and_float(self, tmp_path):
+        from scipy.io import wavfile
+        from gomel_tpu.io.wavcodec import read_wav
+        rng = np.random.default_rng(1)
+        st = rng.integers(-1000, 1000, (300, 2)).astype(np.int16)
+        p = str(tmp_path / "st.wav")
+        wavfile.write(p, 16000, st)
+        got, sr = read_wav(p)
+        np.testing.assert_array_equal(got, st)
+        fl = rng.standard_normal(400).astype(np.float32)
+        p2 = str(tmp_path / "fl.wav")
+        wavfile.write(p2, 16000, fl)
+        got2, _ = read_wav(p2)
+        np.testing.assert_array_equal(got2, fl)
+
+    def test_24bit_pcm(self, tmp_path):
+        import struct
+        from gomel_tpu.io.wavcodec import read_wav
+        vals = np.array([0, 1, -1, 8388607, -8388608, 123456], dtype=np.int64)
+        payload = b"".join(struct.pack("<i", int(v) << 8)[1:] for v in vals)
+        header = (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+                  + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 48000,
+                                          48000 * 3, 3, 24)
+                  + b"data" + struct.pack("<I", len(payload)))
+        p = str(tmp_path / "b24.wav")
+        with open(p, "wb") as f:
+            f.write(header + payload)
+        got, sr = read_wav(p)
+        assert got.dtype == np.int32
+        np.testing.assert_array_equal(got >> 8, vals)
+        # full-scale normalization through the audio loader
+        from gomel_tpu.io.audio import load_wav
+        buf, _ = load_wav(p)
+        assert abs(buf[3] - (8388607 << 8) / 2**31) < 1e-9
