@@ -44,12 +44,18 @@ def test_iterates_in_order_with_prefetch(audio_dir):
         assert buf.ndim == 1 and len(buf) >= 1000
 
 
-def test_wav_and_flac_agree(audio_dir):
-    d, paths = audio_dir
-    # same generator seeds produce same content family; just check both decode
-    for p in paths:
-        buf, sr = load_audio(p)
-        assert np.isfinite(buf).all()
+def test_wav_and_flac_agree(tmp_path):
+    # identical content written to both formats must decode identically
+    rng = np.random.default_rng(7)
+    buf = np.clip(rng.standard_normal(4000) * 0.3, -0.999, 0.999)
+    wav_p = str(tmp_path / "same.wav")
+    flac_p = str(tmp_path / "same.flac")
+    save_wav(wav_p, buf, 16000)
+    flacmod.write_flac(flac_p, buf, 16000)
+    wav_buf, wav_sr = load_audio(wav_p)
+    flac_buf, flac_sr = load_audio(flac_p)
+    assert wav_sr == flac_sr == 16000
+    np.testing.assert_allclose(wav_buf, flac_buf, atol=2.0 / 32768)
 
 
 def test_error_skip_and_raise(audio_dir, tmp_path):

@@ -178,11 +178,13 @@ def test_fuzz_decoder_no_crash(tmp_path):
         f2 = str(tmp_path / "fuzz.flac")
         with open(f2, "wb") as f:
             f.write(bytes(data))
+        decoded = None
         try:
-            out, sr = flac.read_flac(f2)
-            assert len(out) <= len(base) * 4  # decoded something plausible
-        except (ValueError, Exception):
+            decoded, sr = flac.read_flac(f2)
+        except ValueError:
             pass  # clean failure is fine; a segfault would kill pytest
+        if decoded is not None:
+            assert len(decoded) <= len(base) * 4  # plausible size
 
 
 def test_go_concat_layout(tmp_path):

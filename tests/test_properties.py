@@ -20,11 +20,6 @@ WINDOW, RESOLUT, NUM_FREQS = 64, 256, 96
 _settings = settings(max_examples=25, deadline=None,
                      suppress_health_check=[HealthCheck.too_slow])
 
-audio_strategy = st.integers(min_value=0, max_value=10_000).flatmap(
-    lambda n: st.integers(min_value=0, max_value=2 ** 32 - 1).map(
-        lambda seed: np.random.default_rng(seed).uniform(-0.8, 0.8, n)))
-
-
 def _phase():
     return Phase(PhaseConfig(num_freqs=NUM_FREQS, window=WINDOW,
                              resolut=RESOLUT))
