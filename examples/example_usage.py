@@ -6,6 +6,11 @@ Demonstrates: buffer-level phase round trip, mel encode/decode with
 Griffin-Lim, file conversion, the reference-port compat layer, batched
 data-parallel pipelines, and frame-sharded long-form processing.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 
