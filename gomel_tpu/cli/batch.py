@@ -1,10 +1,15 @@
-"""Batch CLI: encode whole directories on TPU with the data-parallel pipeline.
+"""Batch CLI: encode/decode whole directories on TPU with the data-parallel
+pipeline.
 
 New relative to the reference (whose CLIs process one file per invocation):
 ``batch-tomel`` / ``batch-tophase`` decode files with the prefetching dataset
 loader, group them into length buckets, run the batched device pipeline, and
 write the same PNGs the single-file tools produce (per-file true-length
-metadata preserved).
+metadata preserved). ``batch-fromphase`` / ``batch-towav`` decode PNG
+directories back to WAV: images are grouped by identical (frames, bins)
+shape — one compiled program and one device batch per shape group (decode
+frame counts cannot be padded for free: the window-sum normalization depends
+on the real frame count).
 """
 from __future__ import annotations
 
@@ -16,8 +21,9 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..core.config import MelConfig, PhaseConfig, num_freqs_for_sample_rate, pad_shift
-from ..core.framing import frames_for_padded
+from ..core.framing import frames_for_padded, is_padded
 from ..io import imagecodec
+from ..io.audio import save_wav
 from ..io.dataset import AudioDataset, list_audio_files
 from ..ops.resample import zero_stuff_upsample
 from ..parallel.batch import BatchedMel, BatchedPhase
@@ -153,3 +159,148 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
     print(f"encoded {n_done} files", file=sys.stderr)
     return 0
 
+
+
+def _collect_pngs(paths: Sequence[str]) -> List[str]:
+    files: List[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for dirpath, _, names in os.walk(p):
+                files.extend(os.path.join(dirpath, n) for n in sorted(names)
+                             if n.lower().endswith(".png"))
+        else:
+            files.append(p)
+    return sorted(set(files))
+
+
+def _wav_out(path: str, out_dir: Optional[str], used: Optional[set]) -> str:
+    base = path + ".wav"
+    if not out_dir:
+        return base
+    os.makedirs(out_dir, exist_ok=True)
+    name = os.path.basename(base)
+    if used is not None:
+        candidate, k = name, 0
+        while candidate in used:
+            k += 1
+            stem, ext = os.path.splitext(name)
+            candidate = f"{stem}-{k}{ext}"
+        if k:
+            print(f"warning: basename collision, writing {candidate}",
+                  file=sys.stderr)
+        used.add(candidate)
+        name = candidate
+    return os.path.join(out_dir, name)
+
+
+def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
+    """Phase-PNG directory/file list -> WAVs via the batched decoder."""
+    p = argparse.ArgumentParser(prog="batch-fromphase")
+    p.add_argument("inputs", nargs="+", help="phase PNG files or directories")
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--window", type=int, default=1280)
+    p.add_argument("--resolut", type=int, default=4096)
+    p.add_argument("--volume-boost", type=float, default=0.0)
+    p.add_argument("--ihs", action="store_true")
+    p.add_argument("--hdr", action="store_true")
+    a = p.parse_args(argv)
+
+    files = _collect_pngs(a.inputs)
+    if not files:
+        print("no input files", file=sys.stderr)
+        return 1
+    ihs_passes = 2 if (a.ihs and not a.hdr) else 0
+    groups: dict[tuple, list] = {}
+    for path in files:
+        try:
+            spec, samples, sr, nf = imagecodec.load_phase_image(
+                path, True, ihs_passes, a.hdr, layout="auto")
+        except Exception as e:
+            print(f"skipping {path}: {e}", file=sys.stderr)
+            continue
+        groups.setdefault((nf, spec.shape[0]), []).append(
+            (path, spec, samples, sr))
+
+    n_done = 0
+    used: set = set()
+    for (nf, frames), items in groups.items():
+        cfg = PhaseConfig(num_freqs=nf, window=a.window, resolut=a.resolut,
+                          y_reverse=True, volume_boost=a.volume_boost,
+                          ihs=a.ihs, hdr=a.hdr)
+        bp = BatchedPhase(cfg)
+        for s in range(0, len(items), a.max_batch):
+            chunk = items[s:s + a.max_batch]
+            batch = np.stack([spec for _, spec, _, _ in chunk])
+            wavs = np.asarray(bp.decode(batch), dtype=np.float64)
+            for row, (path, _, samples, sr) in enumerate(chunk):
+                wave = wavs[row]
+                samples_i = int(samples)
+                if samples_i > 0 and is_padded(samples_i, len(wave),
+                                               cfg.window)                         and len(wave) > samples_i:
+                    wave = wave[:samples_i]
+                save_wav(_wav_out(path, a.out_dir, used), wave,
+                         cfg.family_main_rate)
+                n_done += 1
+    print(f"decoded {n_done} files", file=sys.stderr)
+    return 0
+
+
+def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
+    """Mel-PNG directory/file list -> WAVs via the batched Griffin-Lim
+    decoder (one PRNG stream per file, deterministic per --seed)."""
+    p = argparse.ArgumentParser(prog="batch-towav")
+    p.add_argument("inputs", nargs="+", help="mel PNG files or directories")
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--sample-rate", type=int, default=44100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-mels", type=int, default=192)
+    p.add_argument("--window", type=int, default=1280)
+    p.add_argument("--resolut", type=int, default=4096)
+    p.add_argument("--fmax", type=float, default=16000.0)
+    p.add_argument("--griffin-lim-iterations", type=int, default=2)
+    p.add_argument("--volume-boost", type=float, default=0.0)
+    a = p.parse_args(argv)
+
+    files = _collect_pngs(a.inputs)
+    if not files:
+        print("no input files", file=sys.stderr)
+        return 1
+    cfg = MelConfig(num_mels=a.num_mels, mel_fmax=a.fmax, y_reverse=True,
+                    window=a.window, resolut=a.resolut,
+                    griffin_lim_iterations=a.griffin_lim_iterations)
+    groups: dict[int, list] = {}
+    for path in files:
+        try:
+            spec, samples, sr = imagecodec.load_mel_image(path, True)
+        except Exception as e:
+            print(f"skipping {path}: {e}", file=sys.stderr)
+            continue
+        if spec.shape[1] != cfg.num_mels:
+            print(f"skipping {path}: {spec.shape[1]} mels != {cfg.num_mels}",
+                  file=sys.stderr)
+            continue
+        if a.volume_boost != 0.0:
+            spec = spec + a.volume_boost
+        groups.setdefault(spec.shape[0], []).append((path, spec, samples, sr))
+
+    n_done = 0
+    used: set = set()
+    bm = BatchedMel(cfg)
+    for frames, items in groups.items():
+        for s in range(0, len(items), a.max_batch):
+            chunk = items[s:s + a.max_batch]
+            batch = np.stack([spec for _, spec, _, _ in chunk])
+            wavs = np.asarray(bm.decode(batch, seed=a.seed), dtype=np.float64)
+            for row, (path, _, samples, sr) in enumerate(chunk):
+                wave = wavs[row]
+                samples_i = int(samples)
+                if samples_i > 0 and is_padded(samples_i, len(wave),
+                                               cfg.window)                         and len(wave) > samples_i:
+                    wave = wave[:samples_i]
+                out_sr = a.sample_rate if a.sample_rate else int(sr)
+                save_wav(_wav_out(path, a.out_dir, used), wave, out_sr)
+                n_done += 1
+    print(f"decoded {n_done} files", file=sys.stderr)
+    return 0

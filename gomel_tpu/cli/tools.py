@@ -152,11 +152,13 @@ def fromphase(argv: Optional[Sequence[str]] = None) -> int:
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     """Multiplexed entry: ``gomel-tpu <tool> [args...]``."""
-    from .batch import batch_tomel, batch_tophase
+    from .batch import (batch_fromphase, batch_tomel, batch_tophase,
+                        batch_towav)
     argv = list(sys.argv[1:] if argv is None else argv)
     tools = {"tomel": tomel, "towav": towav,
              "tophase": tophase, "fromphase": fromphase,
-             "batch-tomel": batch_tomel, "batch-tophase": batch_tophase}
+             "batch-tomel": batch_tomel, "batch-tophase": batch_tophase,
+             "batch-fromphase": batch_fromphase, "batch-towav": batch_towav}
     if not argv or argv[0] not in tools:
         print(f"Usage: gomel-tpu {{{','.join(tools)}}} <args>", file=sys.stderr)
         return 1

@@ -120,3 +120,41 @@ def test_batch_tomel_and_tophase(tmp_path):
     n = min(len(rec), len(orig))
     corr = np.corrcoef(orig[2048:n - 2048], rec[2048:n - 2048])[0, 1]
     assert corr > 0.99
+
+
+def test_batch_decode_roundtrip(tmp_path):
+    from gomel_tpu.cli.batch import (batch_fromphase, batch_tophase,
+                                     batch_tomel, batch_towav)
+    sr = 48000
+    d = tmp_path / "audio"
+    d.mkdir()
+    for i in range(3):
+        t = np.arange(sr // 2) / sr
+        save_wav(str(d / f"u{i}.wav"),
+                 0.4 * np.sin(2 * np.pi * (300 + 50 * i) * t), sr)
+    png = tmp_path / "png"
+    assert batch_tophase([str(d), "--out-dir", str(png), "--window", "256",
+                          "--resolut", "2048", "--max-batch", "2"]) == 0
+    wavs = tmp_path / "wav"
+    assert batch_fromphase([str(png), "--out-dir", str(wavs),
+                            "--window", "256", "--resolut", "2048",
+                            "--max-batch", "2"]) == 0
+    assert len(list(wavs.iterdir())) == 3
+    # batched decode equals the single-file fromphase for the same PNG
+    from gomel_tpu import Phase, PhaseConfig
+    single_wav = str(tmp_path / "single.wav")
+    Phase(PhaseConfig(num_freqs=768, window=256, resolut=2048,
+                      y_reverse=True)).to_wav_png(
+        str(png / "u0.wav.png"), single_wav)
+    a, _ = load_wav(str(wavs / "u0.wav.png.wav"))
+    b, _ = load_wav(single_wav)
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+    pngm = tmp_path / "pngm"
+    assert batch_tomel([str(d), "--out-dir", str(pngm), "--window", "256",
+                        "--resolut", "1024", "--num-mels", "32"]) == 0
+    wavm = tmp_path / "wavm"
+    assert batch_towav([str(pngm), "--out-dir", str(wavm), "--window", "256",
+                        "--resolut", "1024", "--num-mels", "32",
+                        "--sample-rate", "48000"]) == 0
+    assert len(list(wavm.iterdir())) == 3
