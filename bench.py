@@ -6,7 +6,16 @@ Resolut=4096, fmax=16k; /root/reference/cmd/tomel/main.go:24-31).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 Extra diagnostics (Griffin-Lim inversion, phase round trip) go to stderr.
-The shared tunnel chip is timing-noisy, so every number is best-of-3 batches.
+
+Timing methodology (see benchmarks/RESULTS.md "Timing methodology"):
+the axon runtime defers device execution until a value is actually read
+back (jax.block_until_ready returns early), and the read-back round trip
+costs ~27 ms. Each measurement therefore pipelines N back-to-back calls
+over alternating inputs (alternation defeats the runtime's same-input
+memoization) and forces execution with a jitted-scalar read of the final
+output; per-call time is the slope between a small-N and large-N run,
+which cancels the constant read-back latency. This measures steady-state
+device throughput — the number a saturated serving pipeline sees.
 """
 from __future__ import annotations
 
@@ -20,18 +29,36 @@ import numpy as np
 
 BASELINE_AUDIO_S_PER_S = 10_000.0
 
+_checksum = jax.jit(lambda y: jnp.sum(y))
 
-def _best_of(fn, args, iters: int, trials: int = 3) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(trials):
+
+def _read(out) -> float:
+    """Force execution of everything enqueued before ``out`` and return a
+    checksum of ``out`` (value read-back is the only reliable execution
+    barrier on this runtime)."""
+    return float(_checksum(out))
+
+
+def pipelined_time(fn, argsets, n_lo: int, n_hi: int, trials: int = 3) -> float:
+    """Seconds per call at steady state: slope between n_lo- and n_hi-call
+    pipelined runs (constant read-back latency cancels)."""
+    for a in argsets:  # warm up compilation and verify finiteness
+        if not np.isfinite(_read(fn(*a))):
+            raise RuntimeError("benchmark kernel produced non-finite output")
+
+    def run(n: int) -> float:
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        for i in range(n):
+            out = fn(*argsets[i % len(argsets)])
+        _read(out)
+        return time.perf_counter() - t0
+
+    t_lo = min(run(n_lo) for _ in range(trials))
+    t_hi = min(run(n_hi) for _ in range(trials))
+    per = (t_hi - t_lo) / (n_hi - n_lo)
+    if per <= 0:  # noise floor: fall back to the conservative estimate
+        per = t_hi / n_hi
+    return per
 
 
 def main() -> None:
@@ -66,17 +93,16 @@ def main() -> None:
                                  fwd, window))(xb)
 
     rng = np.random.default_rng(0)
-    xb = jax.device_put(
+    xbs = [jax.device_put(
         jnp.asarray(rng.standard_normal((batch, n)), dtype=jnp.float32), dev)
+        for _ in range(2)]
 
-    # verify the kernel actually ran (block_until_ready hides device
-    # faults on the axon tunnel — CLAUDE.md)
-    checksum = float(jnp.sum(step(xb)))
-    if not np.isfinite(checksum):
-        raise RuntimeError(f"mel encode produced non-finite output: {checksum}")
+    # verify the kernel actually ran by value (block_until_ready hides
+    # device faults AND defers execution on the axon tunnel — CLAUDE.md)
+    checksum = _read(step(xbs[0]))
     print(f"output checksum: {checksum:.4f}", file=sys.stderr)
 
-    best = _best_of(step, (xb,), iters=15)
+    best = pipelined_time(step, [(x,) for x in xbs], n_lo=5, n_hi=25)
     value = audio_s / best
     print(f"mel encode: {best * 1e3:.2f}ms/call, {value:.0f} audio-s/s",
           file=sys.stderr)
@@ -86,13 +112,13 @@ def main() -> None:
         inv = jnp.asarray(
             inverse_mel_weights(cfg.n_bins, cfg.num_mels, cfg.mel_fmin,
                                 cfg.mel_fmax), jnp.float32)
-        logmel = step(xb)
+        logmels = [step(x) for x in xbs]
         keys = jax.random.split(jax.random.PRNGKey(0), batch)
         gl = jax.jit(jax.vmap(
             lambda s, k: mel_decode(s, cfg.resolut, cfg.window, inv,
                                     cfg.griffin_lim_iterations, k,
                                     1.0, 0.0, window)))
-        t = _best_of(gl, (logmel, keys), iters=4)
+        t = pipelined_time(gl, [(m, keys) for m in logmels], n_lo=3, n_hi=13)
         print(f"griffin-lim({cfg.griffin_lim_iterations}) decode: "
               f"{audio_s / t:.0f} audio-s/s", file=sys.stderr)
 
@@ -102,9 +128,9 @@ def main() -> None:
             x, pc.num_freqs, pc.resolut, pc.window, pwin)))
         pd = jax.jit(jax.vmap(lambda s: phase_decode(
             s, pc.resolut, pc.window, 0.0, pwin)))
-        spec = pe(xb)
-        te = _best_of(pe, (xb,), iters=8)
-        td = _best_of(pd, (spec,), iters=8)
+        specs = [pe(x) for x in xbs]
+        te = pipelined_time(pe, [(x,) for x in xbs], n_lo=4, n_hi=16)
+        td = pipelined_time(pd, [(s,) for s in specs], n_lo=4, n_hi=16)
         print(f"phase encode: {audio_s / te:.0f} a-s/s, decode: "
               f"{audio_s / td:.0f} a-s/s, roundtrip: "
               f"{audio_s / (te + td):.0f} a-s/s", file=sys.stderr)
