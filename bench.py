@@ -117,7 +117,7 @@ def main() -> None:
         gl = jax.jit(jax.vmap(
             lambda s, k: mel_decode(s, cfg.resolut, cfg.window, inv,
                                     cfg.griffin_lim_iterations, k,
-                                    1.0, 0.0, window)))
+                                    1.0, 0.0, None)))
         t = pipelined_time(gl, [(m, keys) for m in logmels], n_lo=3, n_hi=13)
         print(f"griffin-lim({cfg.griffin_lim_iterations}) decode: "
               f"{audio_s / t:.0f} audio-s/s", file=sys.stderr)
@@ -127,7 +127,7 @@ def main() -> None:
         pe = jax.jit(jax.vmap(lambda x: phase_encode(
             x, pc.num_freqs, pc.resolut, pc.window, pwin)))
         pd = jax.jit(jax.vmap(lambda s: phase_decode(
-            s, pc.resolut, pc.window, 0.0, pwin)))
+            s, pc.resolut, pc.window, 0.0, None)))
         specs = [pe(x) for x in xbs]
         te = pipelined_time(pe, [(x,) for x in xbs], n_lo=4, n_hi=16)
         td = pipelined_time(pd, [(s,) for s in specs], n_lo=4, n_hi=16)

@@ -92,19 +92,14 @@ def main() -> None:
     check("longform phase encode", lspec)
     check("longform phase decode", lf.decode(lspec))
 
-    print("opt-in fused pallas kernel:")
-    try:
-        from gomel_tpu.core.filterbank import mel_weights
-        from gomel_tpu.ops.pallas.mel_kernel import mel_encode_fused
-        cfg = MelConfig.cli_default()
-        fwd = jnp.asarray(mel_weights(cfg.n_bins, cfg.num_mels, cfg.mel_fmin,
-                                      cfg.mel_fmax), jnp.float32)
-        fx = jnp.asarray(np.pad(audio, (0, pad_length(len(audio), 1280)
-                                        - len(audio)))[None, :], jnp.float32)
-        check("fused mel kernel", mel_encode_fused(
-            fx, fwd, cfg.num_mels, cfg.resolut, cfg.window, block_f=32))
-    except Exception as e:
-        print(f"  fused mel kernel: SKIPPED ({type(e).__name__}: {e})")
+    print("direct-DFT matmul backend (decode paths):")
+    from gomel_tpu.ops import dft_mm
+    fx = jnp.asarray(np.pad(audio, (0, pad_length(len(audio), 1280)
+                                    - len(audio))), jnp.float32)
+    re, im = dft_mm.rfft(fx[:4096], 4096, jax.lax.Precision.HIGH)
+    check("dft_mm rfft", re + im)
+    check("dft_mm irfft", dft_mm.irfft(re, im, 4096,
+                                       jax.lax.Precision.HIGH))
 
     print("ALL TPU SMOKE CHECKS PASSED")
 

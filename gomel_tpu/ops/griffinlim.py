@@ -47,7 +47,7 @@ def griffin_lim_magnitudes(linear2: jax.Array) -> jax.Array:
 
 
 def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
-                window: jax.Array | None = None,
+                window=None,
                 init: jax.Array | None = None,
                 fft_backend: str = "auto") -> jax.Array:
     """Iterative phase reconstruction.
@@ -56,12 +56,24 @@ def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
     Returns signal [N + (F-1)*hop]. With n_iter=0 returns the random init,
     matching the reference (mel/mel.go:85 loop never runs).
     ``init`` overrides the random initial signal (used by equivalence tests).
+
+    ``window``: None (Hann) or a HOST-side np.ndarray lets the mm backend
+    fold the analysis/synthesis window into its DFT weight matrices (saves
+    two 147 MB elementwise passes per iteration at the flagship config); a
+    traced/device array still works but disables the folding.
     """
+    import numpy as _np
+
     F = mag_half.shape[0]
     N = (mag_half.shape[1] - 1) * 2
     dtype = mag_half.dtype
+    window_np = None
     if window is None:
-        window = jnp.asarray(hann_window(N), dtype=dtype)
+        window_np = hann_window(N)
+    elif isinstance(window, _np.ndarray):
+        window_np = window
+    if window_np is not None:
+        window = jnp.asarray(window_np, dtype=dtype)
     out_len = N + (F - 1) * hop
     if init is not None:
         sig0 = jnp.asarray(init, dtype=dtype)
@@ -69,22 +81,40 @@ def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
         sig0 = jax.random.uniform(key, (out_len,), dtype=dtype)
 
     # Griffin-Lim is noise-tolerant by construction (the reference seeds it
-    # from unseeded random noise and runs 2 iterations), so the MXU FFTs run
-    # at DEFAULT (bf16) matmul precision throughout: measured reconstruction
+    # from unseeded random noise and runs 2 iterations), so the FFTs run at
+    # DEFAULT (bf16) matmul precision throughout: measured reconstruction
     # quality is identical (mel spectral convergence 0.0716 vs 0.0717 at
-    # HIGHEST) at ~1.2x speed; the bf16 waveform error (~3e-3 relative,
-    # ~50 dB SNR) sits far below Griffin-Lim's own convergence artifacts.
+    # HIGHEST) and the bf16 waveform error (~3e-3 relative, ~50 dB SNR) sits
+    # far below Griffin-Lim's own convergence artifacts. At that precision
+    # the bandwidth-minimal single-matmul DFT (ops/dft_mm.py) beats the
+    # CT-MXU path 1.7x end-to-end (12.1 vs 20.3 ms per 240 audio-s,
+    # benchmarks/exp_dftmm.py), so "auto" resolves via auto_lowp, and the
+    # window is folded into the DFT weights when it is host-side.
+    from .fftbackend import resolve
+    from . import dft_mm
+
+    backend = resolve("auto_lowp" if fft_backend == "auto" else fft_backend, N)
+    folded = backend == "mm" and window_np is not None
+
     def body(sig, prec):
-        frames = frame_signal(sig, N, hop) * window
-        re, im = rfft_planes(frames, N, fft_backend, prec)
+        frames = frame_signal(sig, N, hop)
+        if folded:
+            re, im = dft_mm.rfft_windowed(frames, N, window_np, prec)
+        else:
+            re, im = rfft_planes(frames * window, N, backend, prec)
         # unit phase; angle(0) = 0 -> unit 1 (matches cmplx.Rect(mag, Phase(0)))
         a = jnp.sqrt(re * re + im * im)
         inv = jnp.where(a > 0, 1.0 / jnp.where(a > 0, a, 1.0), 0.0)
         unit_re = jnp.where(a > 0, re * inv, 1.0)
         unit_im = im * inv
         m = mag_half.astype(dtype)
-        rec = irfft_planes(m * unit_re, m * unit_im, N, fft_backend, prec)
-        return overlap_add(rec.astype(dtype) * window, hop)
+        if folded:
+            rec_w = dft_mm.irfft_windowed(m * unit_re, m * unit_im, N,
+                                          window_np, prec)
+        else:
+            rec = irfft_planes(m * unit_re, m * unit_im, N, backend, prec)
+            rec_w = rec.astype(dtype) * window
+        return overlap_add(rec_w.astype(dtype), hop)
 
     low = jax.lax.Precision.DEFAULT
     return jax.lax.fori_loop(0, n_iter, lambda _, s: body(s, low), sig0,

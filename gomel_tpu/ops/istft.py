@@ -73,7 +73,7 @@ def window_sum(window: jax.Array, n_frames: int, hop: int) -> jax.Array:
 
 
 def istft_direct_planes(re: jax.Array, im: jax.Array, hop: int,
-                        window: jax.Array,
+                        window,
                         fft_backend: str = "auto") -> jax.Array:
     """Direct (0-iteration) iSTFT with window-sum normalization.
 
@@ -84,12 +84,40 @@ def istft_direct_planes(re: jax.Array, im: jax.Array, hop: int,
     real(IFFT(frame)) * window with window-square accumulation, then
     normalization where window_sum > 0.5*max, proportional fade where
     1e-21 < window_sum <= threshold.
+
+    TPU precision: the inverse transform runs as one direct-DFT matmul at
+    HIGH (3-pass bf16) precision — max-rel-err 1.1e-5 vs the HIGHEST CT
+    path, i.e. below the 3.1e-5 PCM-16 output quantization step, at 1.3x
+    the speed (7.5 vs 9.9 ms per 240 audio-s, benchmarks/exp_dftmm.py).
+    Pass fft_backend="mxu"/"xla" to force the f32-exact paths.
+
+    ``window``: a HOST-side np.ndarray lets the mm path fold the synthesis
+    window into its DFT weights (saves a 147 MB elementwise pass at the
+    flagship config); a traced/device array works but disables folding.
     """
+    import numpy as _np
+    from .fftbackend import resolve
+    from . import dft_mm
+
     F = re.shape[0]
     N = (re.shape[1] - 1) * 2
-    frames = irfft_planes(re, im, N, fft_backend).astype(window.dtype)
-    sig = overlap_add(frames * window, hop)
-    wsum = window_sum(window, F, hop)
+    window_np = window if isinstance(window, _np.ndarray) else None
+    dtype = re.dtype
+    if fft_backend == "auto":
+        backend = resolve("auto_lowp", N)
+        prec = jax.lax.Precision.HIGH
+    else:
+        backend = resolve(fft_backend, N)
+        prec = None
+    window_arr = (jnp.asarray(window_np, dtype)
+                  if window_np is not None else window)
+    if backend == "mm" and window_np is not None:
+        frames_w = dft_mm.irfft_windowed(re, im, N, window_np, prec)
+    else:
+        frames = irfft_planes(re, im, N, backend, prec)
+        frames_w = frames.astype(window_arr.dtype) * window_arr
+    sig = overlap_add(frames_w.astype(window_arr.dtype), hop)
+    wsum = window_sum(window_arr, F, hop)
     threshold = 0.5 * jnp.max(wsum)
     return normalize_by_window_sum(sig, wsum, threshold)
 

@@ -80,6 +80,6 @@ def mel_decode(logmel: jax.Array, frame_len: int, hop: int,
     there, mel/mel.go:127-132)."""
     lin = mel_to_linear(logmel, inv_weights, tune_mul, tune_add)
     mag = griffin_lim_magnitudes(lin)
-    if window is None:
-        window = jnp.asarray(hann_window(frame_len), dtype=logmel.dtype)
+    # window=None (or a host-side np window) lets griffin_lim fold the
+    # window into the mm-path DFT weights — pass it through untouched
     return griffin_lim(mag, hop, n_iter, key, window, fft_backend=fft_backend)

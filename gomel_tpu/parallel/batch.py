@@ -128,7 +128,7 @@ class BatchedMel:
         self._decode = jax.jit(jax.vmap(
             lambda m, k: mel_decode(m, c.resolut, c.window, self._inv,
                                     c.griffin_lim_iterations, k,
-                                    c.tune_mul, c.tune_add, self._window)))
+                                    c.tune_mul, c.tune_add, None)))
 
     def _shard(self, arr):
         if self.mesh is None:
@@ -180,7 +180,7 @@ class BatchedPhase:
                                    self._window)))
         self._decode = jax.jit(jax.vmap(
             lambda s: phase_decode(s, c.resolut, c.window,
-                                   float(c.volume_boost), self._window)))
+                                   float(c.volume_boost), None)))
 
     def _shard(self, arr):
         if self.mesh is None:

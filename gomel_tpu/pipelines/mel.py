@@ -37,10 +37,11 @@ def _encode_jit(x, fwd_w, window, num_mels, frame_len, hop):
 @functools.partial(jax.jit,
                    static_argnames=("frame_len", "hop", "n_iter",
                                     "tune_mul", "tune_add"))
-def _decode_jit(logmel, inv_w, window, key, frame_len, hop, n_iter,
+def _decode_jit(logmel, inv_w, key, frame_len, hop, n_iter,
                 tune_mul, tune_add):
+    # window=None -> Hann, folded into the mm-path DFT weights on TPU
     return mel_decode(logmel, frame_len, hop, inv_w, n_iter, key,
-                      tune_mul, tune_add, window)
+                      tune_mul, tune_add, None)
 
 
 class Mel:
@@ -107,7 +108,7 @@ class Mel:
         c = self.config
         logmel = jnp.asarray(logmel, dtype=self.dtype)
         key = jax.random.PRNGKey(seed)
-        return _decode_jit(logmel, inv, self._win(), key, c.resolut, c.window,
+        return _decode_jit(logmel, inv, key, c.resolut, c.window,
                            c.griffin_lim_iterations, c.tune_mul, c.tune_add)
 
     # -- reference-layout API ------------------------------------------------

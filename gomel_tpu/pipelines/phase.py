@@ -42,8 +42,9 @@ def _encode_jit(x, window, num_freqs, frame_len, hop):
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_len", "hop", "volume_boost"))
-def _decode_jit(spec2, window, frame_len, hop, volume_boost):
-    return phase_decode(spec2, frame_len, hop, volume_boost, window)
+def _decode_jit(spec2, frame_len, hop, volume_boost):
+    # window=None -> Hann, folded into the mm-path DFT weights on TPU
+    return phase_decode(spec2, frame_len, hop, volume_boost, None)
 
 
 class Phase:
@@ -98,7 +99,7 @@ class Phase:
         """Phase spectrogram [F, num_freqs, 2] -> audio (device array)."""
         c = self.config
         spec2 = jnp.asarray(spec2, dtype=self.dtype)
-        return _decode_jit(spec2, self._win(), c.resolut, c.window,
+        return _decode_jit(spec2, c.resolut, c.window,
                            float(c.volume_boost))
 
     # -- reference-layout API --------------------------------------------------
