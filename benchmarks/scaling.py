@@ -27,8 +27,12 @@ def main() -> None:
                     help="force N virtual CPU devices (test mode)")
     ap.add_argument("--secs", type=float, default=30.0)
     ap.add_argument("--batch-per-device", type=int, default=4)
-    ap.add_argument("--mode", choices=["data", "frame"], default="data",
-                    help="scale via data-parallel batch or frame sharding")
+    ap.add_argument("--mode", choices=["data", "frame", "overhead"],
+                    default="data",
+                    help="scale via data-parallel batch or frame sharding; "
+                         "'overhead' measures sharding overhead at FIXED "
+                         "total work (the meaningful quantity on virtual "
+                         "devices that time-slice the same cores)")
     args = ap.parse_args()
 
     if args.virtual:
@@ -74,6 +78,75 @@ def main() -> None:
         xb = sh.pad_signal_for_plan(
             jnp.asarray(rng.standard_normal((b, n)), jnp.float32), plan)
         return measure_throughput(enc, (xb,), b * n / sr, n_devices=n_devices)
+
+    if args.mode == "overhead":
+        # Fixed TOTAL work, unsharded vs sharded over all devices. On a
+        # virtual CPU mesh the N "devices" time-slice the same cores, so a
+        # wall-clock speedup is unmeasurable — but the sharding OVERHEAD
+        # (halo exchange, collectives, padding skew) shows up directly as
+        # T_sharded / T_unsharded - 1 at equal total work. Combined with
+        # the analytic ICI cost model (docs/SCALING.md) this bounds real-pod
+        # efficiency: eff >= 1 / (1 + overhead_fraction).
+        from gomel_tpu.core.filterbank import inverse_mel_weights
+        from gomel_tpu.ops.mel_ops import mel_decode, mel_encode
+
+        b = args.batch_per_device
+        xb = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+        audio_s = b * n / sr
+        w = mel_weights(cfg.n_bins, cfg.num_mels, cfg.mel_fmin, cfg.mel_fmax)
+        wj = jnp.asarray(w, jnp.float32)
+        iw = jnp.asarray(inverse_mel_weights(
+            cfg.n_bins, cfg.num_mels, cfg.mel_fmin, cfg.mel_fmax), jnp.float32)
+        keys = jax.random.split(jax.random.PRNGKey(0), b)
+
+        # unsharded baselines (single logical device)
+        enc1 = jax.jit(jax.vmap(lambda x: mel_encode(
+            x, cfg.num_mels, cfg.resolut, cfg.window, wj)))
+        dec1 = jax.jit(jax.vmap(lambda m, k: mel_decode(
+            m, cfg.resolut, cfg.window, iw, cfg.griffin_lim_iterations, k)))
+        logmel = enc1(xb)
+        t_enc1 = measure_throughput(enc1, (xb,), audio_s)
+        t_dec1 = measure_throughput(dec1, (logmel, keys), audio_s)
+
+        # frame-sharded over the full mesh, same total work
+        mesh = make_mesh(data=1, frame=n_dev, devices=devices)
+        f = num_frames(n, cfg.resolut, cfg.window)
+        plan = sh.plan_frame_sharding(f, cfg.resolut, cfg.window, n_dev)
+        encN = sh.sharded_mel_encode_fn(mesh, plan, cfg.num_mels, w)
+        xpad = sh.pad_signal_for_plan(xb, plan)
+        t_encN = measure_throughput(encN, (xpad,), audio_s,
+                                    n_devices=n_dev)
+        glN = sh.sharded_griffin_lim_fn(mesh, plan,
+                                        cfg.griffin_lim_iterations)
+        mag = jnp.abs(jnp.asarray(rng.standard_normal(
+            (b, plan.n_frames_padded, cfg.resolut // 2 + 1)), jnp.float32))
+        sig0 = jnp.asarray(rng.uniform(size=(
+            b, plan.n_frames_padded * cfg.window)), jnp.float32)
+        t_glN = measure_throughput(glN, (mag, sig0), audio_s,
+                                   n_devices=n_dev)
+        # unsharded GL on the same padded magnitudes (identical total work)
+        from gomel_tpu.ops.griffinlim import griffin_lim
+        gl1 = jax.jit(jax.vmap(lambda m, k: griffin_lim(
+            m, cfg.window, cfg.griffin_lim_iterations, k)))
+        t_gl1 = measure_throughput(gl1, (mag, keys), audio_s)
+
+        report = {
+            "mode": "overhead",
+            "config": {"secs": args.secs, "batch": b,
+                       "platform": devices[0].platform, "n_devices": n_dev},
+            "encode": {"unsharded": t_enc1.json(),
+                       "frame_sharded": t_encN.json(),
+                       "overhead_fraction": round(
+                           t_encN.wall_seconds / t_enc1.wall_seconds - 1, 4)},
+            "griffin_lim": {"unsharded": t_gl1.json(),
+                            "frame_sharded": t_glN.json(),
+                            "overhead_fraction": round(
+                                t_glN.wall_seconds / t_gl1.wall_seconds - 1,
+                                4)},
+            "decode_unsharded_reference": t_dec1.json(),
+        }
+        print(json.dumps(report, indent=2))
+        return
 
     single = run(1)
     report = {

@@ -39,6 +39,19 @@ def main() -> None:
     audio = (0.4 * np.sin(2 * np.pi * 440 * t)
              + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
 
+    # single-host degenerate multihost bring-up (docs/MULTIHOST.md): the
+    # explicit 1-process topology must succeed (or report an already-
+    # initialized runtime); the no-arg form is pod-autodetect and can block
+    # waiting for a coordinator off-pod, so it is not exercised here
+    from gomel_tpu.parallel import mesh as pmesh
+    try:
+        pmesh.initialize_multihost(coordinator_address="localhost:18476",
+                                   num_processes=1, process_id=0)
+        print("initialize_multihost (single-host degenerate): ok")
+    except RuntimeError as e:
+        print(f"initialize_multihost: tolerated ({e})")
+    assert not pmesh.is_multihost()
+
     print("single-chip pipelines:")
     m = Mel(MelConfig.cli_default())
     logmel = m.encode(audio)

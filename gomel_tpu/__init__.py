@@ -1,6 +1,6 @@
 """gomel_tpu — TPU-native audio feature pipeline.
 
-A from-scratch JAX/XLA/Pallas framework with the capabilities of
+A from-scratch JAX/XLA framework with the capabilities of
 neurlang/gomel (reference surveyed in SURVEY.md): mel-spectrogram and
 phase-preserving spectrogram codecs, Griffin-Lim reconstruction, PNG
 persistence with embedded float16 metadata, batched and multi-chip

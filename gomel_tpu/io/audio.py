@@ -12,7 +12,7 @@ Replaces the reference's Go codecs:
 
 This environment has no soundfile/libsndfile, so WAV goes through
 scipy.io.wavfile and FLAC through our own native decoder
-(native/flacdec.cpp via gomel_tpu.io.flac).
+(gomel_tpu/native/flacdec.cpp via gomel_tpu.io.flac).
 """
 from __future__ import annotations
 

@@ -1,4 +1,4 @@
-"""FLAC codec: native decoder (ctypes over native/flacdec.cpp) + pure-Python
+"""FLAC codec: native decoder (ctypes over gomel_tpu/native/flacdec.cpp) + pure-Python
 fallback decoder + a spec-compliant encoder.
 
 Replaces the reference's mewkiz/flac dependency

@@ -5,7 +5,7 @@ The reference uses Go's image/png (NRGBA and NRGBA64 writers,
 PIL for 8-bit plus pypng for 16-bit HDR (/root/reference/phase.py:716-747).
 pypng is not available in this environment, so the framework ships its own
 codec: zlib (C speed) for inflate/deflate, a native C++ helper
-(native/pngfilter.cpp) for the sequential scanline filter/unfilter loops, and
+(gomel_tpu/native/pngfilter.cpp) for the sequential scanline filter/unfilter loops, and
 a pure numpy/Python fallback when the toolchain is absent.
 
 Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at bit depth

@@ -11,6 +11,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <stdexcept>
 #include <vector>
 
 namespace {
@@ -325,29 +326,51 @@ int flac_decode(const uint8_t* buf, long len, int layout,
         if (want <= (uint64_t)len * 8 && want < (1ull << 31))
             pcm.reserve((size_t)want);
     }
+    // Decompression-bomb bound: actual growth (not just the reserve) must
+    // stay plausible. When STREAMINFO declares a length, allow it plus one
+    // max-size block of slack per channel; otherwise allow the extreme
+    // legitimate expansion of an all-CONSTANT (silence) stream —
+    // ~15 input bytes per 65536-sample mono frame, i.e. < 8192 samples per
+    // input byte — with a small-file floor. A crafted stream exceeding the
+    // bound fails with -7 instead of growing without limit, and any
+    // allocation failure surfaces as -6 via the catch below rather than
+    // std::terminate across the extern "C" boundary.
+    uint64_t bomb_cap;
+    if (si.total_samples)
+        bomb_cap = (si.total_samples + 65536ull) * (uint64_t)(si.channels ? si.channels : 8);
+    else
+        bomb_cap = (uint64_t)len * 8192ull + (1ull << 20);
+    if (bomb_cap > (1ull << 33)) bomb_cap = 1ull << 33;  // 8 Gi samples hard cap
+
     std::vector<std::vector<int64_t>> chans;
     int nch_out = 0;
-    while (true) {
-        size_t sync_pos = 0;
-        int bs = decode_frame(br, si, chans, &sync_pos);
-        if (bs == -2) break;          // end of stream
-        if (bs <= 0) {                // corrupt frame: resync past this sync
-            br.byte_pos = sync_pos + 1;
-            br.bit_pos = 0;
-            br.error = false;
-            continue;
-        }
-        int nch = (int)chans.size();
-        if (nch_out == 0) nch_out = nch;
-        if (layout == 1) {
-            for (int c = 0; c < nch; ++c)
-                for (int i = 0; i < bs; ++i)
-                    pcm.push_back((int32_t)chans[(size_t)c][(size_t)i]);
-        } else {
-            for (int i = 0; i < bs; ++i)
+    try {
+        while (true) {
+            size_t sync_pos = 0;
+            int bs = decode_frame(br, si, chans, &sync_pos);
+            if (bs == -2) break;          // end of stream
+            if (bs <= 0) {                // corrupt frame: resync past this sync
+                br.byte_pos = sync_pos + 1;
+                br.bit_pos = 0;
+                br.error = false;
+                continue;
+            }
+            int nch = (int)chans.size();
+            if (nch_out == 0) nch_out = nch;
+            if (pcm.size() + (uint64_t)nch * (uint64_t)bs > bomb_cap)
+                return -7;                // decompression bomb
+            if (layout == 1) {
                 for (int c = 0; c < nch; ++c)
-                    pcm.push_back((int32_t)chans[(size_t)c][(size_t)i]);
+                    for (int i = 0; i < bs; ++i)
+                        pcm.push_back((int32_t)chans[(size_t)c][(size_t)i]);
+            } else {
+                for (int i = 0; i < bs; ++i)
+                    for (int c = 0; c < nch; ++c)
+                        pcm.push_back((int32_t)chans[(size_t)c][(size_t)i]);
+            }
         }
+    } catch (const std::exception&) {
+        return -6;                        // allocation (or other) failure
     }
     if (pcm.empty()) return -4;
 

@@ -80,28 +80,33 @@ def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
     else:
         sig0 = jax.random.uniform(key, (out_len,), dtype=dtype)
 
-    # Griffin-Lim is noise-tolerant by construction (the reference seeds it
-    # from unseeded random noise and runs 2 iterations), so the FFTs run at
-    # DEFAULT (bf16) matmul precision throughout: measured reconstruction
-    # quality is identical (mel spectral convergence 0.0716 vs 0.0717 at
-    # HIGHEST) and the bf16 waveform error (~3e-3 relative, ~50 dB SNR) sits
-    # far below Griffin-Lim's own convergence artifacts. At that precision
-    # the bandwidth-minimal single-matmul DFT (ops/dft_mm.py) beats the
-    # CT-MXU path 1.7x end-to-end (12.1 vs 20.3 ms per 240 audio-s,
-    # benchmarks/exp_dftmm.py), so "auto" resolves via auto_lowp, and the
-    # window is folded into the DFT weights when it is host-side.
+    # Precision policy (measured, /tmp-reproducible via the ladder in
+    # benchmarks/exp_dftmm.py + RESULTS.md "GL precision ladder"):
+    # - The FORWARD transform only extracts phases; Griffin-Lim replaces the
+    #   magnitudes anyway, and phase errors on near-silent bins are noise by
+    #   construction — DEFAULT (bf16) forward measures identical spectral
+    #   convergence to HIGH/HIGHEST (0.521 vs 0.521 on tonal input).
+    # - The INVERSE transform synthesizes the carried waveform; its error
+    #   injects directly into every later iteration. HIGH (3-pass bf16)
+    #   inverse improves tonal-input spectral convergence 5x (0.521 -> 0.097,
+    #   also beating the old CT-DEFAULT path's 0.476) for ~15% runtime.
+    # At these precisions the bandwidth-minimal single-matmul DFT
+    # (ops/dft_mm.py) beats the CT-MXU path end-to-end (benchmarks/
+    # exp_dftmm.py), so "auto" resolves via auto_lowp, and the window is
+    # folded into the DFT weights when it is host-side (saves two 147 MB
+    # elementwise passes per iteration at the flagship config).
     from .fftbackend import resolve
     from . import dft_mm
 
     backend = resolve("auto_lowp" if fft_backend == "auto" else fft_backend, N)
     folded = backend == "mm" and window_np is not None
 
-    def body(sig, prec):
+    def body(sig, prec_fwd, prec_inv):
         frames = frame_signal(sig, N, hop)
         if folded:
-            re, im = dft_mm.rfft_windowed(frames, N, window_np, prec)
+            re, im = dft_mm.rfft_windowed(frames, N, window_np, prec_fwd)
         else:
-            re, im = rfft_planes(frames * window, N, backend, prec)
+            re, im = rfft_planes(frames * window, N, backend, prec_fwd)
         # unit phase; angle(0) = 0 -> unit 1 (matches cmplx.Rect(mag, Phase(0)))
         a = jnp.sqrt(re * re + im * im)
         inv = jnp.where(a > 0, 1.0 / jnp.where(a > 0, a, 1.0), 0.0)
@@ -110,12 +115,13 @@ def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
         m = mag_half.astype(dtype)
         if folded:
             rec_w = dft_mm.irfft_windowed(m * unit_re, m * unit_im, N,
-                                          window_np, prec)
+                                          window_np, prec_inv)
         else:
-            rec = irfft_planes(m * unit_re, m * unit_im, N, backend, prec)
+            rec = irfft_planes(m * unit_re, m * unit_im, N, backend, prec_inv)
             rec_w = rec.astype(dtype) * window
         return overlap_add(rec_w.astype(dtype), hop)
 
     low = jax.lax.Precision.DEFAULT
-    return jax.lax.fori_loop(0, n_iter, lambda _, s: body(s, low), sig0,
+    high = jax.lax.Precision.HIGH
+    return jax.lax.fori_loop(0, n_iter, lambda _, s: body(s, low, high), sig0,
                              unroll=False)

@@ -171,8 +171,11 @@ class Mel:
 
     def to_tensor_flac(self, input_file: str) -> "jax.Array":
         """FLAC file -> device log-mel [F, num_mels, 2] (mel 1/65536
-        scaling, mel/impl.go:290)."""
-        buf, _ = audio_io.load_flac(input_file, mono="left", scaling="mel")
+        scaling, mel/impl.go:290; go_concat channel handling so a stereo
+        FLAC yields the SAME spectrogram content as the PNG path
+        ``to_mel_flac`` — the two routes diverged in round 1, ADVICE #3)."""
+        buf, _ = audio_io.load_flac(input_file, mono="go_concat",
+                                    scaling="mel")
         return self.encode(buf)
 
     def to_wav_png(self, input_file: str, output_file: str, seed: int = 0) -> int:

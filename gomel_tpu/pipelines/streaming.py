@@ -9,10 +9,12 @@ ppermuted to a neighbor.
 
 Chunks are fixed-shape, so each stream compiles exactly two programs
 (interior chunk + the reused flush path). Streaming results equal the batch
-pipelines exactly for the signal/spectrogram they cover; the iSTFT's global
-0.5*max window-sum threshold is computed from the periodic interior (equal to
-the whole-signal max whenever the stream is at least ~2 analysis windows
-long, which is the only regime where streaming makes sense).
+pipelines exactly for EVERY stream length: the iSTFT's global 0.5*max
+window-sum threshold uses the periodic-interior maximum — exact whenever the
+stream spans >= K = ceil(frame_len/hop) frames, which the constructor's
+``chunk_frames >= K`` requirement guarantees for multi-chunk streams — and
+single-block streams below that get the exact per-length threshold instead
+(tests/test_streaming.py::test_short_stream_threshold_boundary).
 
 Parity targets: phase/phase.go:41-153 buffer semantics, chunked.
 """
@@ -116,6 +118,20 @@ class StreamingPhase:
         self._halo = c.resolut - c.window
         self._window = jnp.asarray(hann_window(c.resolut), dtype)
         self._chunk_samples = chunk_frames * self._hop
+        # The interior window-sum maximum equals the whole-signal maximum
+        # exactly when the signal spans >= K = ceil(frame_len/hop) frames
+        # (verified numerically for the Hann window: equality from F = K on,
+        # tests/test_streaming.py::test_short_stream_threshold_boundary).
+        # Single-block streams below that get an exact per-length threshold
+        # in decode; multi-block streams are guaranteed F > chunk_frames, so
+        # requiring chunk_frames >= K makes the interior threshold exact for
+        # every stream this class can produce.
+        k = -(-self._frame_len // self._hop)
+        if chunk_frames < k:
+            raise ValueError(
+                f"chunk_frames must be >= ceil(resolut/window) = {k} so the "
+                f"periodic-interior window-sum threshold is exact for "
+                f"multi-chunk streams (got {chunk_frames})")
 
         cf, fl, hop = chunk_frames, self._frame_len, self._hop
 
@@ -137,7 +153,8 @@ class StreamingPhase:
         # window-sum of one interior chunk (constant across chunks)
         self._wsum_ext = self._np_window_sum(cf)
         # global threshold: periodic-interior maximum (== whole-signal max
-        # for any stream of >= ~2*frame_len samples)
+        # for any stream of >= K frames; shorter single-block streams get an
+        # exact per-length threshold in decode)
         self._threshold = 0.5 * float(
             self._np_window_sum(4 * (-(-fl // hop))).max())
 
@@ -201,8 +218,14 @@ class StreamingPhase:
             if last:
                 out_sig = np.concatenate([out_sig, carry_sig])
                 out_w = np.concatenate([out_w, carry_w])
+            # single-block stream: the interior threshold can overestimate
+            # for F < K frames — use the exact whole-signal threshold (the
+            # batch decoder's 0.5*max rule, phase/phase.go:118-121)
+            threshold = self._threshold
+            if last and not started:
+                threshold = 0.5 * float(self._np_window_sum(max(f, 1)).max())
             out = np.asarray(normalize_by_window_sum(
-                jnp.asarray(out_sig), jnp.asarray(out_w), self._threshold))
+                jnp.asarray(out_sig), jnp.asarray(out_w), threshold))
             if self.config.volume_boost != 0.0:
                 out = out * self.config.volume_boost
             return out

@@ -38,6 +38,19 @@ class ThroughputResult:
         }
 
 
+def _force(out) -> None:
+    """Execution barrier that actually works everywhere: read a value back.
+
+    On the axon TPU tunnel ``jax.block_until_ready`` returns before the
+    device runs anything (execution is deferred until a read-back —
+    CLAUDE.md); a jitted scalar reduction + float() forces the whole
+    enqueued chain on every backend.
+    """
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        float(jax.jit(lambda x: x.ravel()[0].astype("float32"))(leaves[0]))
+
+
 def measure_throughput(fn: Callable, args: tuple, audio_seconds_per_call: float,
                        n_devices: int = 1, warmup: int = 2,
                        min_seconds: float = 1.0, max_iters: int = 100,
@@ -45,14 +58,16 @@ def measure_throughput(fn: Callable, args: tuple, audio_seconds_per_call: float,
     """Steady-state throughput of a jitted call (compile excluded).
 
     Best-of-``trials`` batches — shared chips are timing-noisy, so a single
-    averaged run would make efficiency gates flap (CLAUDE.md).
+    averaged run would make efficiency gates flap (CLAUDE.md). Each batch
+    pipelines ``iters`` calls and forces execution with a value read-back
+    at the end (block_until_ready is not a real barrier on the TPU tunnel).
     """
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
+    _force(fn(*args))
     once = time.perf_counter() - t0
     iters = max(3, min(max_iters, int(min_seconds / max(once, 1e-5))))
     best = float("inf")
@@ -60,7 +75,7 @@ def measure_throughput(fn: Callable, args: tuple, audio_seconds_per_call: float,
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _force(out)
         best = min(best, time.perf_counter() - t0)
     return ThroughputResult(audio_seconds=audio_seconds_per_call * iters,
                             wall_seconds=best, iters=iters,

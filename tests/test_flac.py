@@ -239,3 +239,27 @@ def test_midstream_corruption_resyncs(tmp_path):
     with open(f2, "rb") as fh:
         arr, nch, _, _ = flac._decode_python(fh.read())
     assert len(arr) >= 4 * bs
+
+
+def test_decompression_bomb_rejected(tmp_path):
+    """A stream whose frames decode to vastly more PCM than STREAMINFO
+    declares must fail with rc=-7 (bounded growth) instead of allocating
+    without limit (ADVICE round 1, medium severity)."""
+    import struct
+
+    base = str(tmp_path / "base.flac")
+    flac.write_flac(base, np.zeros(4096), 48000, mode="verbatim")
+    data = bytearray(open(base, "rb").read())
+    # STREAMINFO packed field (sr/ch/bps/total) = file bytes [18:26);
+    # re-declare total_samples = 100 while keeping sr/ch/bps
+    packed = int.from_bytes(data[18:26], "big")
+    packed = (packed & ~((1 << 36) - 1)) | 100
+    data[18:26] = packed.to_bytes(8, "big")
+    # duplicate the single 4096-sample frame 40x -> 163k samples decoded
+    # vs a bomb cap of (100 + 65536) * 1 channel
+    body = bytes(data[42:])
+    bomb = str(tmp_path / "bomb.flac")
+    with open(bomb, "wb") as f:
+        f.write(bytes(data[:42]) + body * 40)
+    with pytest.raises(ValueError, match="rc=-7"):
+        flac.read_flac(bomb)
