@@ -164,11 +164,39 @@ def _local_frames(x_loc, window, plan: FrameShardPlan):
     return frames * window
 
 
+def _local_frames_raw(x_loc, plan: FrameShardPlan):
+    """[B, chunk] -> [B, F_loc, N] UNwindowed frames (window folded into the
+    mm DFT weights by the caller)."""
+    halo = _pull_right_halo(x_loc, plan.halo, plan.n_shards, FRAME_AXIS)
+    x_ext = jnp.concatenate([x_loc, halo], axis=-1)
+    return jax.vmap(lambda s: frame_signal(s, plan.frame_len, plan.hop))(x_ext)
+
+
 def _local_stft_planes(x_loc, window, plan: FrameShardPlan,
                        fft_backend: str = "auto", precision=None):
     """[B, chunk] -> (re, im) local rfft frame planes [B, F_loc, N/2+1]."""
     return rfft_planes(_local_frames(x_loc, window, plan), plan.frame_len,
                        fft_backend, precision)
+
+
+def _use_mm(n: int) -> bool:
+    """True when the decode-side direct-DFT-matmul backend applies
+    (same dispatch as ops/istft.py and ops/griffinlim.py)."""
+    from ..ops.fftbackend import resolve
+    return resolve("auto_lowp", n) == "mm"
+
+
+def _local_irfft_windowed(re, im, window_np, plan: FrameShardPlan,
+                          precision, dtype):
+    """irfft(re, im) * window, via the mm backend (folded window, reduced
+    precision) on TPU or the exact path elsewhere."""
+    from ..ops import dft_mm
+
+    if _use_mm(plan.frame_len):
+        return dft_mm.irfft_windowed(re, im, plan.frame_len,
+                                     window_np, precision).astype(dtype)
+    frames = irfft_planes(re, im, plan.frame_len).astype(dtype)
+    return frames * jnp.asarray(window_np, dtype)
 
 
 def _local_stft(x_loc, window, plan: FrameShardPlan):
@@ -238,10 +266,14 @@ def sharded_istft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32):
     def _fn(half_spec):
         mask = _local_frame_mask(plan.frames_per_shard, plan.n_frames,
                                  FRAME_AXIS)
-        frames = irfft_planes(jnp.real(half_spec), jnp.imag(half_spec),
-                              plan.frame_len).astype(window.dtype)
-        frames = jnp.where(mask[None, :, None], frames, 0.0)
-        sig = _local_overlap_add(frames * window, plan)
+        # mm path at HIGH precision with the window folded into the weights
+        # (same policy + measured numbers as ops/istft.py); masking whole
+        # frames commutes with the windowing
+        frames_w = _local_irfft_windowed(
+            jnp.real(half_spec), jnp.imag(half_spec), hann_window(plan.frame_len),
+            plan, jax.lax.Precision.HIGH, window.dtype)
+        frames_w = jnp.where(mask[None, :, None], frames_w, 0.0)
+        sig = _local_overlap_add(frames_w, plan)
         wsum = _local_window_sum(window, mask, plan)
         local_max = jnp.max(wsum)
         global_max = jax.lax.pmax(local_max, FRAME_AXIS)
@@ -270,19 +302,28 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
                                  FRAME_AXIS)
         mag = jnp.where(mask[None, :, None], mag_loc, 0.0)
 
-        low = jax.lax.Precision.DEFAULT  # GL is noise-tolerant (see
-        # ops/griffinlim.py): bf16 matmuls, measured-identical quality
+        # precision policy matches ops/griffinlim.py (measured there):
+        # forward DEFAULT (phases of replaced magnitudes), inverse HIGH
+        # (carry error compounds); mm backend with folded windows on TPU
+        low = jax.lax.Precision.DEFAULT
+        high = jax.lax.Precision.HIGH
+        wnp = hann_window(plan.frame_len)
+        use_mm = _use_mm(plan.frame_len)
+        from ..ops import dft_mm
 
         def body(_, sig):
-            re, im = _local_stft_planes(sig, window, plan, precision=low)
+            if use_mm:
+                re, im = dft_mm.rfft_windowed(
+                    _local_frames_raw(sig, plan), plan.frame_len, wnp, low)
+            else:
+                re, im = _local_stft_planes(sig, window, plan, precision=low)
             a = jnp.sqrt(re * re + im * im)
             inv = jnp.where(a > 0, 1.0 / jnp.where(a > 0, a, 1.0), 0.0)
             unit_re = jnp.where(a > 0, re * inv, 1.0)
             unit_im = im * inv
-            rec = irfft_planes(mag * unit_re, mag * unit_im,
-                               plan.frame_len,
-                               precision=low).astype(window.dtype)
-            return _local_overlap_add(rec * window, plan)
+            rec_w = _local_irfft_windowed(mag * unit_re, mag * unit_im,
+                                          wnp, plan, high, window.dtype)
+            return _local_overlap_add(rec_w, plan)
 
         return jax.lax.fori_loop(0, n_iter, body, sig0)
 
@@ -325,9 +366,11 @@ def sharded_phase_decode_fn(mesh: Mesh, plan: FrameShardPlan,
                                  FRAME_AXIS)
         re, im = jax.vmap(
             lambda s: grow_half_planes(s, plan.frame_len // 2))(spec2)
-        frames = irfft_planes(re, im, plan.frame_len).astype(window.dtype)
-        frames = jnp.where(mask[None, :, None], frames, 0.0)
-        sig = _local_overlap_add(frames * window, plan)
+        frames_w = _local_irfft_windowed(re, im, hann_window(plan.frame_len),
+                                         plan, jax.lax.Precision.HIGH,
+                                         window.dtype)
+        frames_w = jnp.where(mask[None, :, None], frames_w, 0.0)
+        sig = _local_overlap_add(frames_w, plan)
         wsum = _local_window_sum(window, mask, plan)
         global_max = jax.lax.pmax(jnp.max(wsum), FRAME_AXIS)
         out = normalize_by_window_sum(sig, wsum[None, :], 0.5 * global_max)
