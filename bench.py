@@ -72,7 +72,12 @@ def main() -> None:
     cfg = MelConfig.cli_default()
     sr = 48000
     secs = 30.0
-    batch = 8
+    # batch sweep (benchmarks/RESULTS.md): throughput per audio-second is
+    # highest at SMALL batch — 2 x 30 s rows keep the big [F, 4096]
+    # intermediates VMEM-resident (~37 MB) instead of spilling to HBM
+    # (batch 2: ~76k a-s/s vs batch 8: ~46k on mel encode; every decode
+    # path is faster at batch 2 as well)
+    batch = 2
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
@@ -102,7 +107,7 @@ def main() -> None:
     checksum = _read(step(xbs[0]))
     print(f"output checksum: {checksum:.4f}", file=sys.stderr)
 
-    best = pipelined_time(step, [(x,) for x in xbs], n_lo=5, n_hi=25)
+    best = pipelined_time(step, [(x,) for x in xbs], n_lo=20, n_hi=120)
     value = audio_s / best
     print(f"mel encode: {best * 1e3:.2f}ms/call, {value:.0f} audio-s/s",
           file=sys.stderr)
@@ -118,7 +123,7 @@ def main() -> None:
             lambda s, k: mel_decode(s, cfg.resolut, cfg.window, inv,
                                     cfg.griffin_lim_iterations, k,
                                     1.0, 0.0, None)))
-        t = pipelined_time(gl, [(m, keys) for m in logmels], n_lo=3, n_hi=13)
+        t = pipelined_time(gl, [(m, keys) for m in logmels], n_lo=5, n_hi=25)
         print(f"griffin-lim({cfg.griffin_lim_iterations}) decode: "
               f"{audio_s / t:.0f} audio-s/s", file=sys.stderr)
 
@@ -129,8 +134,8 @@ def main() -> None:
         pd = jax.jit(jax.vmap(lambda s: phase_decode(
             s, pc.resolut, pc.window, 0.0, None)))
         specs = [pe(x) for x in xbs]
-        te = pipelined_time(pe, [(x,) for x in xbs], n_lo=4, n_hi=16)
-        td = pipelined_time(pd, [(s,) for s in specs], n_lo=4, n_hi=16)
+        te = pipelined_time(pe, [(x,) for x in xbs], n_lo=8, n_hi=40)
+        td = pipelined_time(pd, [(s,) for s in specs], n_lo=8, n_hi=40)
         print(f"phase encode: {audio_s / te:.0f} a-s/s, decode: "
               f"{audio_s / td:.0f} a-s/s, roundtrip: "
               f"{audio_s / (te + td):.0f} a-s/s", file=sys.stderr)

@@ -86,10 +86,13 @@ def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
     #   magnitudes anyway, and phase errors on near-silent bins are noise by
     #   construction — DEFAULT (bf16) forward measures identical spectral
     #   convergence to HIGH/HIGHEST (0.521 vs 0.521 on tonal input).
-    # - The INVERSE transform synthesizes the carried waveform; its error
-    #   injects directly into every later iteration. HIGH (3-pass bf16)
-    #   inverse improves tonal-input spectral convergence 5x (0.521 -> 0.097,
-    #   also beating the old CT-DEFAULT path's 0.476) for ~15% runtime.
+    # - The INVERSE transform's error matters only where it reaches the
+    #   output: interior iterations' carries get re-analyzed and their
+    #   magnitudes replaced, so only the FINAL inverse needs precision.
+    #   Measured (RESULTS.md GL ladder): interior-DEFAULT/final-HIGH matches
+    #   all-HIGH quality (0.095 vs 0.097 tonal spectral convergence — both
+    #   5x better than all-DEFAULT's 0.52 and the round-1 CT path's 0.48)
+    #   at 22% less runtime.
     # At these precisions the bandwidth-minimal single-matmul DFT
     # (ops/dft_mm.py) beats the CT-MXU path end-to-end (benchmarks/
     # exp_dftmm.py), so "auto" resolves via auto_lowp, and the window is
@@ -123,5 +126,9 @@ def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
 
     low = jax.lax.Precision.DEFAULT
     high = jax.lax.Precision.HIGH
-    return jax.lax.fori_loop(0, n_iter, lambda _, s: body(s, low, high), sig0,
-                             unroll=False)
+    sig = jax.lax.fori_loop(0, max(n_iter - 1, 0),
+                            lambda _, s: body(s, low, low), sig0,
+                            unroll=False)
+    if n_iter >= 1:  # final iteration: precise inverse (n_iter is static)
+        sig = body(sig, low, high)
+    return sig

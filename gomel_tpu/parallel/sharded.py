@@ -303,15 +303,16 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
         mag = jnp.where(mask[None, :, None], mag_loc, 0.0)
 
         # precision policy matches ops/griffinlim.py (measured there):
-        # forward DEFAULT (phases of replaced magnitudes), inverse HIGH
-        # (carry error compounds); mm backend with folded windows on TPU
+        # forward DEFAULT (phases of replaced magnitudes), interior inverses
+        # DEFAULT, FINAL inverse HIGH (only the last inverse reaches the
+        # output); mm backend with folded windows on TPU
         low = jax.lax.Precision.DEFAULT
         high = jax.lax.Precision.HIGH
         wnp = hann_window(plan.frame_len)
         use_mm = _use_mm(plan.frame_len)
         from ..ops import dft_mm
 
-        def body(_, sig):
+        def body(sig, inv_prec):
             if use_mm:
                 re, im = dft_mm.rfft_windowed(
                     _local_frames_raw(sig, plan), plan.frame_len, wnp, low)
@@ -322,10 +323,14 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
             unit_re = jnp.where(a > 0, re * inv, 1.0)
             unit_im = im * inv
             rec_w = _local_irfft_windowed(mag * unit_re, mag * unit_im,
-                                          wnp, plan, high, window.dtype)
+                                          wnp, plan, inv_prec, window.dtype)
             return _local_overlap_add(rec_w, plan)
 
-        return jax.lax.fori_loop(0, n_iter, body, sig0)
+        sig = jax.lax.fori_loop(0, max(n_iter - 1, 0),
+                                lambda _, s: body(s, low), sig0)
+        if n_iter >= 1:
+            sig = body(sig, high)
+        return sig
 
     return jax.jit(_fn)
 
