@@ -2,9 +2,9 @@
 under the corrected (pipelined-slope) timing methodology.
 
 Compares, at the flagship config (N=4096, hop=1280, batch 8 x 30 s):
-  1. mel encode: XLA+CT-MXU path (current default) vs Pallas fused kernel
-  2. GL(2) decode: current CT-MXU loop vs direct-DFT-matmul loop
-  3. phase decode: current CT irfft vs direct-DFT-matmul at HIGHEST/HIGH/DEFAULT
+  1. mel encode baseline (CT-MXU at HIGHEST)
+  2. GL(2) decode: CT-MXU loop vs direct-DFT-matmul loop
+  3. phase decode: CT irfft vs direct-DFT-matmul at HIGHEST/HIGH/DEFAULT
 
 Run from repo root: python benchmarks/exp_dftmm.py
 """
@@ -106,26 +106,13 @@ def main():
                                           cfg.mel_fmin, cfg.mel_fmax),
                       jnp.float32)
 
-    # ---- 1. mel encode: current vs Pallas fused ----
+    # ---- 1. mel encode baseline (the Pallas fused kernel this was once
+    # compared against measured par and was removed in round 2; its source
+    # is at commit 264462c^ if the comparison ever needs re-running) ----
     enc = jax.jit(jax.vmap(lambda x: mel_encode(
         x, cfg.num_mels, N, hop, fwd, window)))
     t = slope(enc, [(x,) for x in xbs])
     print(f"mel encode current : {t*1e3:7.2f} ms  {audio_s/t:8.0f} a-s/s")
-
-    try:
-        from gomel_tpu.ops.pallas.mel_kernel import mel_encode_fused
-        fwd_np = jnp.asarray(mel_weights(cfg.n_bins, cfg.num_mels,
-                                         cfg.mel_fmin, cfg.mel_fmax),
-                             jnp.float32)
-        encf = jax.jit(lambda x: jnp.log(jnp.maximum(
-            jnp.exp(mel_encode_fused(x, fwd_np, cfg.num_mels, N, hop)), 0.0)))
-        # mel_encode_fused already returns log-mel; call directly
-        encf = jax.jit(lambda x: mel_encode_fused(x, fwd_np, cfg.num_mels,
-                                                  N, hop))
-        t = slope(encf, [(x,) for x in xbs])
-        print(f"mel encode pallas  : {t*1e3:7.2f} ms  {audio_s/t:8.0f} a-s/s")
-    except Exception as e:
-        print(f"pallas mel failed: {e}")
 
     # ---- 2. GL decode: current vs direct-DFT-matmul loop ----
     logmels = [enc(x) for x in xbs]

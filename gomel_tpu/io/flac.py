@@ -214,6 +214,15 @@ def _decode_python(data: bytes, layout: int = 0
 
     pcm: list = []
     nch_out = 0
+    # decompression-bomb bound, mirroring the native decoder
+    # (gomel_tpu/native/flacdec.cpp): declared length + one max block of
+    # slack when STREAMINFO gives one, else a generous silence-stream
+    # expansion bound tied to input size; hard-capped
+    if total:
+        bomb_cap = (total + 65536) * (si_ch or 8)
+    else:
+        bomb_cap = len(data) * 8192 + (1 << 20)
+    bomb_cap = min(bomb_cap, 1 << 33)
     while pos + 4 < len(data):
         while pos + 1 < len(data) and not (
             data[pos] == 0xFF and (data[pos + 1] & 0xFC) == 0xF8
@@ -273,6 +282,9 @@ def _decode_python(data: bytes, layout: int = 0
             chans[0] = [(m + s) >> 1 for m, s in zip(m2, chans[1])]
             chans[1] = [(m - s) >> 1 for m, s in zip(m2, chans[1])]
         nch_out = nch_out or nch
+        if len(pcm) + nch * bs > bomb_cap:
+            raise ValueError("FLAC decode failed (rc=-7): decompression "
+                             "bomb (decoded size exceeds plausibility bound)")
         if layout == 1:
             for c in range(nch):
                 pcm.extend(chans[c])

@@ -37,6 +37,13 @@ def resolve(backend: str, n: int) -> str:
         return "xla"
     if backend not in ("xla", "mxu", "mm"):
         raise ValueError(f"unknown fft backend {backend!r}")
+    if backend == "mm" and not dft_mm.supported(n):
+        # odd n silently mis-handles the Nyquist row, and huge n would
+        # materialize multi-GB weight matrices — refuse instead
+        raise ValueError(f"fft backend 'mm' does not support n={n} "
+                         f"(need even n <= {dft_mm.MAX_N})")
+    if backend == "mxu" and not mxu_fft.supported(n):
+        raise ValueError(f"fft backend 'mxu' does not support n={n}")
     return backend
 
 

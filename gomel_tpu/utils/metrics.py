@@ -38,33 +38,47 @@ class ThroughputResult:
         }
 
 
+_first_scalar = jax.jit(lambda x: x.ravel()[0].astype("float32"))
+
+
 def _force(out) -> None:
     """Execution barrier that actually works everywhere: read a value back.
 
     On the axon TPU tunnel ``jax.block_until_ready`` returns before the
     device runs anything (execution is deferred until a read-back —
     CLAUDE.md); a jitted scalar reduction + float() forces the whole
-    enqueued chain on every backend.
+    enqueued chain on every backend. The jitted reducer is module-level so
+    repeated calls hit the jit cache instead of recompiling in the timed
+    region.
     """
     leaves = jax.tree_util.tree_leaves(out)
     if leaves:
-        float(jax.jit(lambda x: x.ravel()[0].astype("float32"))(leaves[0]))
+        float(_first_scalar(leaves[0]))
 
 
 def measure_throughput(fn: Callable, args: tuple, audio_seconds_per_call: float,
                        n_devices: int = 1, warmup: int = 2,
                        min_seconds: float = 1.0, max_iters: int = 100,
-                       trials: int = 3) -> ThroughputResult:
+                       trials: int = 3, alt_args: Optional[tuple] = None
+                       ) -> ThroughputResult:
     """Steady-state throughput of a jitted call (compile excluded).
 
     Best-of-``trials`` batches — shared chips are timing-noisy, so a single
     averaged run would make efficiency gates flap (CLAUDE.md). Each batch
     pipelines ``iters`` calls and forces execution with a value read-back
     at the end (block_until_ready is not a real barrier on the TPU tunnel).
+
+    ``alt_args``: a SECOND argument tuple to alternate with ``args``. The
+    axon runtime memoizes identical (executable, input) repeats, so timing
+    the same input back-to-back on TPU measures ~one call; callers timing
+    on the real chip must pass distinct alternate inputs. (CPU backends do
+    not memoize; the parameter is optional for virtual-mesh harnesses.)
     """
+    argsets = [args] if alt_args is None else [args, alt_args]
     out = None
-    for _ in range(max(warmup, 1)):
-        out = fn(*args)
+    for a in argsets:
+        for _ in range(max(warmup, 1)):
+            out = fn(*a)
     _force(out)
     t0 = time.perf_counter()
     _force(fn(*args))
@@ -73,8 +87,8 @@ def measure_throughput(fn: Callable, args: tuple, audio_seconds_per_call: float,
     best = float("inf")
     for _ in range(max(trials, 1)):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
+        for i in range(iters):
+            out = fn(*argsets[i % len(argsets)])
         _force(out)
         best = min(best, time.perf_counter() - t0)
     return ThroughputResult(audio_seconds=audio_seconds_per_call * iters,

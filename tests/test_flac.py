@@ -263,3 +263,7 @@ def test_decompression_bomb_rejected(tmp_path):
         f.write(bytes(data[:42]) + body * 40)
     with pytest.raises(ValueError, match="rc=-7"):
         flac.read_flac(bomb)
+    # the pure-Python fallback must enforce the same bound (it engages
+    # whenever the native toolchain is unavailable)
+    with pytest.raises(ValueError, match="rc=-7"):
+        flac._decode_python(open(bomb, "rb").read())
