@@ -173,121 +173,7 @@ def irfft(re_h: jax.Array, im_h: jax.Array, n: int,
     # n = n1 + N1*n2: slow index n2 -> transpose to [n2, n1], flatten
     return outr.swapaxes(-1, -2).reshape(lead + (n,))
 
-
-# ---------------------------------------------------------------------------
-# Packed real FFT: N-point real transform via an N/2-point complex transform
-# (the classic even/odd packing). Measured on TPU v5e: NOT faster than the
-# direct path above (forward 7.9 vs 5.6 ms, inverse 8.2 vs 8.7 ms per 8976
-# frames) — the halved matmul MACs are eaten by the strided even/odd repack,
-# lane flips, and the smaller-K complex stages. Kept as validated alternates;
-# the direct transforms remain the defaults.
-# ---------------------------------------------------------------------------
-
-@functools.lru_cache(maxsize=8)
-def _cfft_consts_np(n: int, inverse: bool):
-    """Full-output complex DFT stage matrices for length n (k = k1 + N2*k2)."""
-    n1, n2 = _split(n)
-    sign = 2j if inverse else -2j
-    a2 = np.arange(n2)
-    w2 = np.exp(sign * np.pi * np.outer(a2, a2) / n2)            # [n2, k1]
-    tw = np.exp(sign * np.pi * np.outer(np.arange(n1), a2) / n)   # [n1, k1]
-    w1 = np.exp(sign * np.pi * np.outer(np.arange(n1),
-                                        np.arange(n1)) / n1)      # [n1, k2]
-    if inverse:
-        w2 = w2 / n   # fold 1/n into one stage
-    return n1, n2, w2, tw, w1
-
-
-@functools.lru_cache(maxsize=16)
-def _butterfly_consts_np(n: int):
-    """Twiddles e^{-2pi i k / n} for k = 0..n/2 (forward butterfly)."""
-    k = np.arange(n // 2 + 1)
-    w = np.exp(-2j * np.pi * k / n)
-    return w
-
-
-def _cfft(zr: jax.Array, zi: jax.Array, n: int, inverse: bool,
-          precision=None) -> tuple[jax.Array, jax.Array]:
-    """Complex [..., n] -> complex [..., n] DFT/IDFT in real planes."""
-    prec = precision if precision is not None else PREC
-    n1, n2, w2, tw, w1 = _cfft_consts_np(n, inverse)
-    c = lambda m: (jnp.asarray(m.real, zr.dtype), jnp.asarray(m.imag, zr.dtype))
-    (w2r, w2i), (twr, twi), (w1r, w1i) = c(w2), c(tw), c(w1)
-    lead = zr.shape[:-1]
-    xr = zr.reshape(lead + (n2, n1)).swapaxes(-1, -2)   # [.., n1, n2]
-    xi = zi.reshape(lead + (n2, n1)).swapaxes(-1, -2)
-    # stage 1 over n2 (complex x complex: 4 real matmuls)
-    yr = (jnp.matmul(xr, w2r, precision=prec)
-          - jnp.matmul(xi, w2i, precision=prec))
-    yi = (jnp.matmul(xr, w2i, precision=prec)
-          + jnp.matmul(xi, w2r, precision=prec))
-    zr2 = yr * twr - yi * twi
-    zi2 = yr * twi + yi * twr
-    # stage 3 over n1 -> [.., k2, k1]
-    or_ = (jnp.matmul(w1r.T, zr2, precision=prec)
-           - jnp.matmul(w1i.T, zi2, precision=prec))
-    oi_ = (jnp.matmul(w1r.T, zi2, precision=prec)
-           + jnp.matmul(w1i.T, zr2, precision=prec))
-    return or_.reshape(lead + (n,)), oi_.reshape(lead + (n,))
-
-
-def packed_supported(n: int) -> bool:
-    return n % 2 == 0 and supported(n // 2)
-
-
-def rfft_packed(x: jax.Array, n: int, precision=None
-                ) -> tuple[jax.Array, jax.Array]:
-    """Real [..., n] -> (re, im) [..., n//2+1] via an n/2 complex FFT.
-
-    z[m] = x[2m] + i*x[2m+1]; Z = DFT_{n/2}(z);
-    A[k] = (Z[k]+conj(Z[M-k]))/2, B[k] = (Z[k]-conj(Z[M-k]))/(2i);
-    X[k] = A[k] + W_n^k * B[k], k = 0..M (indices mod M).
-    """
-    m = n // 2
-    lead = x.shape[:-1]
-    pairs = x.reshape(lead + (m, 2))
-    zr, zi = pairs[..., 0], pairs[..., 1]
-    Zr, Zi = _cfft(zr, zi, m, inverse=False, precision=precision)
-    # extend with the wrapped k=M term so flips cover k = 0..M
-    Zr = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)   # [.., M+1]
-    Zi = jnp.concatenate([Zi, Zi[..., :1]], axis=-1)
-    Zr_rev = jnp.flip(Zr, axis=-1)                      # Z[M-k]
-    Zi_rev = jnp.flip(Zi, axis=-1)
-    ar = 0.5 * (Zr + Zr_rev)
-    ai = 0.5 * (Zi - Zi_rev)
-    br = 0.5 * (Zi + Zi_rev)
-    bi = -0.5 * (Zr - Zr_rev)
-    w = _butterfly_consts_np(n)
-    wr = jnp.asarray(w.real, x.dtype)
-    wi = jnp.asarray(w.imag, x.dtype)
-    re = ar + wr * br - wi * bi
-    im = ai + wr * bi + wi * br
-    return re, im
-
-
-def irfft_packed(re_h: jax.Array, im_h: jax.Array, n: int,
-                 precision=None) -> jax.Array:
-    """(re, im) half-spectrum [..., n//2+1] -> real [..., n] via an n/2
-    complex IDFT (inverse of ``rfft_packed``; DC/Nyquist imaginary parts are
-    dropped to match ``jnp.fft.irfft`` semantics)."""
-    m = n // 2
-    # enforce Hermitian endpoint semantics
-    im_h = im_h.at[..., 0].set(0.0).at[..., -1].set(0.0)
-    xr_rev = jnp.flip(re_h, axis=-1)          # X[M-k], k = 0..M
-    xi_rev = jnp.flip(im_h, axis=-1)
-    # A = (X + conj(Xrev))/2 ; WB = (X - conj(Xrev))/2 ; B = conj(W) * WB
-    ar = 0.5 * (re_h + xr_rev)
-    ai = 0.5 * (im_h - xi_rev)
-    wbr = 0.5 * (re_h - xr_rev)
-    wbi = 0.5 * (im_h + xi_rev)
-    w = _butterfly_consts_np(n)
-    wr = jnp.asarray(w.real, re_h.dtype)
-    wi = jnp.asarray(w.imag, re_h.dtype)
-    br = wr * wbr + wi * wbi                   # conj(W) * WB
-    bi = wr * wbi - wi * wbr
-    # Z = A + i*B, k = 0..M-1
-    zr = (ar - bi)[..., :m]
-    zi = (ai + br)[..., :m]
-    or_, oi_ = _cfft(zr, zi, m, inverse=True, precision=precision)
-    lead = re_h.shape[:-1]
-    return jnp.stack([or_, oi_], axis=-1).reshape(lead + (n,))
+# The round-1 packed (even/odd) real-FFT alternates were removed in round 2:
+# measured slower than the direct path (relayouts eat the MAC savings), and
+# the bandwidth-reduction role is now filled by the single-matmul DFT
+# backend (ops/dft_mm.py). History: commit ead8e4b^.

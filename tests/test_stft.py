@@ -92,22 +92,3 @@ def test_istft_direct_matches_scalar_oracle():
 
     got = np.asarray(istft_direct(jnp.asarray(half), hop, jnp.asarray(w)))
     np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-12)
-
-
-def test_mxu_packed_fft_matches_numpy():
-    """Packed (even/odd) real FFT alternates agree with numpy."""
-    import jax
-    import jax.numpy as jnp
-    from gomel_tpu.ops import mxu_fft as m
-    rng = np.random.default_rng(5)
-    for n in (256, 4096):
-        assert m.packed_supported(n)
-        x = rng.standard_normal((3, n)).astype(np.float32)
-        ref = np.fft.rfft(x, axis=-1)
-        re, im = jax.jit(lambda v: m.rfft_packed(v, n))(jnp.asarray(x))
-        got = np.asarray(re) + 1j * np.asarray(im)
-        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
-        sig = np.asarray(jax.jit(lambda r, i: m.irfft_packed(r, i, n))(
-            jnp.asarray(ref.real, jnp.float32),
-            jnp.asarray(ref.imag, jnp.float32)))
-        assert np.abs(sig - x).max() < 1e-5
