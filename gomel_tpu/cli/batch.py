@@ -68,7 +68,11 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="batch-tomel")
     p.add_argument("inputs", nargs="+", help="audio files or directories")
     p.add_argument("--out-dir", default=None)
-    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-batch", type=int, default=4,
+                   help="rows per device call; small batches keep the "
+                        "frame intermediates VMEM-resident (RESULTS.md "
+                        "batch sweep) — raise only if bucketing overhead "
+                        "dominates")
     p.add_argument("--workers", type=int, default=2)
     p.add_argument("--num-mels", type=int, default=192)
     p.add_argument("--window", type=int, default=1280)
@@ -109,7 +113,11 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="batch-tophase")
     p.add_argument("inputs", nargs="+", help="audio files or directories")
     p.add_argument("--out-dir", default=None)
-    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-batch", type=int, default=4,
+                   help="rows per device call; small batches keep the "
+                        "frame intermediates VMEM-resident (RESULTS.md "
+                        "batch sweep) — raise only if bucketing overhead "
+                        "dominates")
     p.add_argument("--workers", type=int, default=2)
     p.add_argument("--window", type=int, default=1280)
     p.add_argument("--resolut", type=int, default=4096)
@@ -198,7 +206,11 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="batch-fromphase")
     p.add_argument("inputs", nargs="+", help="phase PNG files or directories")
     p.add_argument("--out-dir", default=None)
-    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-batch", type=int, default=4,
+                   help="rows per device call; small batches keep the "
+                        "frame intermediates VMEM-resident (RESULTS.md "
+                        "batch sweep) — raise only if bucketing overhead "
+                        "dominates")
     p.add_argument("--window", type=int, default=1280)
     p.add_argument("--resolut", type=int, default=4096)
     p.add_argument("--volume-boost", type=float, default=0.0)
@@ -252,7 +264,7 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="batch-towav")
     p.add_argument("inputs", nargs="+", help="mel PNG files or directories")
     p.add_argument("--out-dir", default=None)
-    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-batch", type=int, default=4)
     p.add_argument("--sample-rate", type=int, default=44100)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-mels", type=int, default=192)

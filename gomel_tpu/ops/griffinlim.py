@@ -89,10 +89,11 @@ def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
     # - The INVERSE transform's error matters only where it reaches the
     #   output: interior iterations' carries get re-analyzed and their
     #   magnitudes replaced, so only the FINAL inverse needs precision.
-    #   Measured (RESULTS.md GL ladder): interior-DEFAULT/final-HIGH matches
-    #   all-HIGH quality (0.095 vs 0.097 tonal spectral convergence — both
-    #   5x better than all-DEFAULT's 0.52 and the round-1 CT path's 0.48)
-    #   at 22% less runtime.
+    #   Measured (RESULTS.md GL ladder + inverse-backend A/B): interior
+    #   inverses at mm-DEFAULT; the FINAL inverse via XLA's native irfft —
+    #   exact f32 AND the fastest final-inverse option at the batch-2
+    #   serving shape (tonal spectral convergence 0.056 vs 0.096 for
+    #   mm-HIGH vs 0.52 all-DEFAULT; 23.6k vs 19.4k a-s/s).
     # At these precisions the bandwidth-minimal single-matmul DFT
     # (ops/dft_mm.py) beats the CT-MXU path end-to-end (benchmarks/
     # exp_dftmm.py), so "auto" resolves via auto_lowp, and the window is
@@ -104,7 +105,7 @@ def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
     backend = resolve("auto_lowp" if fft_backend == "auto" else fft_backend, N)
     folded = backend == "mm" and window_np is not None
 
-    def body(sig, prec_fwd, prec_inv):
+    def body(sig, prec_fwd, final):
         frames = frame_signal(sig, N, hop)
         if folded:
             re, im = dft_mm.rfft_windowed(frames, N, window_np, prec_fwd)
@@ -116,19 +117,25 @@ def griffin_lim(mag_half: jax.Array, hop: int, n_iter: int, key: jax.Array,
         unit_re = jnp.where(a > 0, re * inv, 1.0)
         unit_im = im * inv
         m = mag_half.astype(dtype)
-        if folded:
+        if final:
+            # exact f32 inverse for the one transform that reaches the output
+            inv_backend = "xla" if backend == "mm" else backend
+            rec = irfft_planes(m * unit_re, m * unit_im, N, inv_backend)
+            rec_w = rec.astype(dtype) * window
+        elif folded:
             rec_w = dft_mm.irfft_windowed(m * unit_re, m * unit_im, N,
-                                          window_np, prec_inv)
+                                          window_np,
+                                          jax.lax.Precision.DEFAULT)
         else:
-            rec = irfft_planes(m * unit_re, m * unit_im, N, backend, prec_inv)
+            rec = irfft_planes(m * unit_re, m * unit_im, N, backend,
+                               jax.lax.Precision.DEFAULT)
             rec_w = rec.astype(dtype) * window
         return overlap_add(rec_w.astype(dtype), hop)
 
     low = jax.lax.Precision.DEFAULT
-    high = jax.lax.Precision.HIGH
     sig = jax.lax.fori_loop(0, max(n_iter - 1, 0),
-                            lambda _, s: body(s, low, low), sig0,
+                            lambda _, s: body(s, low, False), sig0,
                             unroll=False)
-    if n_iter >= 1:  # final iteration: precise inverse (n_iter is static)
-        sig = body(sig, low, high)
+    if n_iter >= 1:  # final iteration (n_iter is static)
+        sig = body(sig, low, True)
     return sig

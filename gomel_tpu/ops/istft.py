@@ -85,38 +85,27 @@ def istft_direct_planes(re: jax.Array, im: jax.Array, hop: int,
     normalization where window_sum > 0.5*max, proportional fade where
     1e-21 < window_sum <= threshold.
 
-    TPU precision: the inverse transform runs as one direct-DFT matmul at
-    HIGH (3-pass bf16) precision — max-rel-err 1.1e-5 vs the HIGHEST CT
-    path, i.e. below the 3.1e-5 PCM-16 output quantization step, at 1.3x
-    the speed (7.5 vs 9.9 ms per 240 audio-s, benchmarks/exp_dftmm.py).
-    Pass fft_backend="mxu"/"xla" to force the f32-exact paths.
+    TPU backend: XLA's native irfft. Measured at the batch-2 serving shape
+    (benchmarks/RESULTS.md "inverse-transform backend"): the vector-unit
+    FFT beats both matmul formulations for the decode inverse — 1.25 ms vs
+    1.57 ms (mm @ HIGH) per 120 audio-s — AND is exact f32, so decode has
+    no reduced-precision caveat on any platform. (The matmul FFTs still
+    win where their trade fits: CT-HIGHEST for encode, mm-DEFAULT for the
+    Griffin-Lim interior.) Pass fft_backend="mxu"/"mm" to force those.
 
-    ``window``: a HOST-side np.ndarray lets the mm path fold the synthesis
-    window into its DFT weights (saves a 147 MB elementwise pass at the
-    flagship config); a traced/device array works but disables folding.
+    ``window``: np.ndarray or device array.
     """
     import numpy as _np
-    from .fftbackend import resolve
-    from . import dft_mm
 
     F = re.shape[0]
     N = (re.shape[1] - 1) * 2
-    window_np = window if isinstance(window, _np.ndarray) else None
     dtype = re.dtype
-    if fft_backend == "auto":
-        backend = resolve("auto_lowp", N)
-        prec = jax.lax.Precision.HIGH
-    else:
-        backend = resolve(fft_backend, N)
-        prec = None
-    window_arr = (jnp.asarray(window_np, dtype)
-                  if window_np is not None else window)
-    if backend == "mm" and window_np is not None:
-        frames_w = dft_mm.irfft_windowed(re, im, N, window_np, prec)
-    else:
-        frames = irfft_planes(re, im, N, backend, prec)
-        frames_w = frames.astype(window_arr.dtype) * window_arr
-    sig = overlap_add(frames_w.astype(window_arr.dtype), hop)
+    window_arr = (jnp.asarray(window, dtype)
+                  if isinstance(window, _np.ndarray) else window)
+    backend = "xla" if fft_backend == "auto" else fft_backend
+    frames = irfft_planes(re, im, N, backend)
+    frames_w = frames.astype(window_arr.dtype) * window_arr
+    sig = overlap_add(frames_w, hop)
     wsum = window_sum(window_arr, F, hop)
     threshold = 0.5 * jnp.max(wsum)
     return normalize_by_window_sum(sig, wsum, threshold)

@@ -186,17 +186,25 @@ def _use_mm(n: int) -> bool:
     return resolve("auto_lowp", n) == "mm"
 
 
-def _local_irfft_windowed(re, im, window_np, plan: FrameShardPlan,
-                          precision, dtype):
-    """irfft(re, im) * window, via the mm backend (folded window, reduced
-    precision) on TPU or the exact path elsewhere."""
+def _local_irfft_windowed(re, im, window_np, plan: FrameShardPlan, dtype):
+    """irfft(re, im) * window for the decode side: XLA's native irfft —
+    exact f32 and the fastest inverse at serving shapes (same measured
+    policy as ops/istft.py; benchmarks/RESULTS.md)."""
+    frames = irfft_planes(re, im, plan.frame_len, "xla").astype(dtype)
+    return frames * jnp.asarray(window_np, dtype)
+
+
+def _local_irfft_windowed_lowp(re, im, window_np, plan: FrameShardPlan,
+                               dtype):
+    """Interior-Griffin-Lim inverse: mm backend at DEFAULT with the window
+    folded into the weights (bandwidth-minimal; error never reaches the
+    output — the final iteration uses the exact path above)."""
     from ..ops import dft_mm
 
     if _use_mm(plan.frame_len):
-        return dft_mm.irfft_windowed(re, im, plan.frame_len,
-                                     window_np, precision).astype(dtype)
-    frames = irfft_planes(re, im, plan.frame_len).astype(dtype)
-    return frames * jnp.asarray(window_np, dtype)
+        return dft_mm.irfft_windowed(re, im, plan.frame_len, window_np,
+                                     jax.lax.Precision.DEFAULT).astype(dtype)
+    return _local_irfft_windowed(re, im, window_np, plan, dtype)
 
 
 def _local_stft(x_loc, window, plan: FrameShardPlan):
@@ -266,12 +274,11 @@ def sharded_istft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32):
     def _fn(half_spec):
         mask = _local_frame_mask(plan.frames_per_shard, plan.n_frames,
                                  FRAME_AXIS)
-        # mm path at HIGH precision with the window folded into the weights
-        # (same policy + measured numbers as ops/istft.py); masking whole
-        # frames commutes with the windowing
+        # exact XLA inverse (same policy + measured numbers as
+        # ops/istft.py); masking whole frames commutes with the windowing
         frames_w = _local_irfft_windowed(
-            jnp.real(half_spec), jnp.imag(half_spec), hann_window(plan.frame_len),
-            plan, jax.lax.Precision.HIGH, window.dtype)
+            jnp.real(half_spec), jnp.imag(half_spec),
+            hann_window(plan.frame_len), plan, window.dtype)
         frames_w = jnp.where(mask[None, :, None], frames_w, 0.0)
         sig = _local_overlap_add(frames_w, plan)
         wsum = _local_window_sum(window, mask, plan)
@@ -302,17 +309,16 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
                                  FRAME_AXIS)
         mag = jnp.where(mask[None, :, None], mag_loc, 0.0)
 
-        # precision policy matches ops/griffinlim.py (measured there):
-        # forward DEFAULT (phases of replaced magnitudes), interior inverses
-        # DEFAULT, FINAL inverse HIGH (only the last inverse reaches the
-        # output); mm backend with folded windows on TPU
+        # policy matches ops/griffinlim.py (measured there): forward
+        # mm-DEFAULT (phases of replaced magnitudes), interior inverses
+        # mm-DEFAULT, FINAL inverse exact XLA (only the last inverse
+        # reaches the output)
         low = jax.lax.Precision.DEFAULT
-        high = jax.lax.Precision.HIGH
         wnp = hann_window(plan.frame_len)
         use_mm = _use_mm(plan.frame_len)
         from ..ops import dft_mm
 
-        def body(sig, inv_prec):
+        def body(sig, final):
             if use_mm:
                 re, im = dft_mm.rfft_windowed(
                     _local_frames_raw(sig, plan), plan.frame_len, wnp, low)
@@ -322,14 +328,18 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
             inv = jnp.where(a > 0, 1.0 / jnp.where(a > 0, a, 1.0), 0.0)
             unit_re = jnp.where(a > 0, re * inv, 1.0)
             unit_im = im * inv
-            rec_w = _local_irfft_windowed(mag * unit_re, mag * unit_im,
-                                          wnp, plan, inv_prec, window.dtype)
+            if final:
+                rec_w = _local_irfft_windowed(mag * unit_re, mag * unit_im,
+                                              wnp, plan, window.dtype)
+            else:
+                rec_w = _local_irfft_windowed_lowp(
+                    mag * unit_re, mag * unit_im, wnp, plan, window.dtype)
             return _local_overlap_add(rec_w, plan)
 
         sig = jax.lax.fori_loop(0, max(n_iter - 1, 0),
-                                lambda _, s: body(s, low), sig0)
+                                lambda _, s: body(s, False), sig0)
         if n_iter >= 1:
-            sig = body(sig, high)
+            sig = body(sig, True)
         return sig
 
     return jax.jit(_fn)
@@ -372,8 +382,7 @@ def sharded_phase_decode_fn(mesh: Mesh, plan: FrameShardPlan,
         re, im = jax.vmap(
             lambda s: grow_half_planes(s, plan.frame_len // 2))(spec2)
         frames_w = _local_irfft_windowed(re, im, hann_window(plan.frame_len),
-                                         plan, jax.lax.Precision.HIGH,
-                                         window.dtype)
+                                         plan, window.dtype)
         frames_w = jnp.where(mask[None, :, None], frames_w, 0.0)
         sig = _local_overlap_add(frames_w, plan)
         wsum = _local_window_sum(window, mask, plan)
