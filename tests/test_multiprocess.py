@@ -1,0 +1,30 @@
+"""Real multi-process ``jax.distributed`` bring-up (SURVEY.md §2.6 item 3).
+
+Everything else in the suite runs the 8-device virtual mesh inside ONE
+process; this is the one test where collectives actually cross a process
+boundary: two workers each own 4 CPU devices, form one 8-device global mesh
+through ``gomel_tpu.parallel.mesh.initialize_multihost``, and run the
+frame-sharded iSTFT (halo ppermute + global pmax across the boundary) and
+the data-sharded Griffin-Lim with shard-level parity checks. The worker
+logic lives in benchmarks/multiprocess_smoke.py (doubles as the runnable
+multihost demo, docs/MULTIHOST.md).
+"""
+import os
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SMOKE = os.path.join(REPO_ROOT, "benchmarks", "multiprocess_smoke.py")
+
+
+def test_two_process_bringup_and_parity():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers pick their own device count
+    proc = subprocess.run(
+        [sys.executable, SMOKE, "--num-processes", "2"],
+        capture_output=True, text=True, timeout=540, env=env, cwd=REPO_ROOT)
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out
+    assert out.count("MULTIHOST-SMOKE OK") == 2, out
+    assert "frame-axis iSTFT across 2 processes" in out, out
+    assert "data-axis Griffin-Lim across 2 processes" in out, out
