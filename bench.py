@@ -112,6 +112,21 @@ def main() -> None:
     print(f"mel encode: {best * 1e3:.2f}ms/call, {value:.0f} audio-s/s",
           file=sys.stderr)
 
+    # roofline diagnostic (full accounting: benchmarks/roofline.py) — XLA's
+    # own cost model of the optimized HLO; bytes counts VMEM-resident
+    # traffic too, so an apparent bandwidth above the 819 GB/s HBM spec
+    # means the working set stays in VMEM
+    try:
+        ca = step.lower(xbs[0]).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        fl, by = float(ca.get("flops", 0)), float(ca.get("bytes accessed", 0))
+        print(f"roofline: {fl / best / 1e12:.1f} TFLOP/s algorithmic "
+              f"({100 * fl / best / 197e12:.1f}% of v5e bf16 peak), "
+              f"{by / best / 1e9:.0f} GB/s op-bytes "
+              f"({100 * by / best / 819e9:.0f}% of HBM spec)", file=sys.stderr)
+    except Exception as e:
+        print(f"roofline diagnostic skipped: {e}", file=sys.stderr)
+
     # secondary metrics (stderr only)
     try:
         inv = jnp.asarray(

