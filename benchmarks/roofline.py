@@ -25,17 +25,22 @@ apparent bandwidth ABOVE the HBM spec is direct evidence the working set
 stays VMEM-resident (the batch-2 serving-shape design goal, RESULTS.md).
 
 Measured on TPU v5e (2026-08-17, serving shape batch 2 x 30 s):
-  mel encode     76.7k a-s/s   8.4 GFLOP  10.8 TFLOP/s (5.5%)  1678 GB/s
-  GL(2) decode   20.3k a-s/s 239.2 GFLOP  81.1 TFLOP/s (41%)   1099 GB/s
-  phase encode   76.5k a-s/s   4.9 GFLOP   6.2 TFLOP/s (3.2%)  1590 GB/s
-  phase decode   48.3k a-s/s   9.1 GFLOP   7.3 TFLOP/s (3.7%)  1734 GB/s
-Interpretation: the three CT/irfft paths show op-bandwidth ~2x the HBM
-spec — memory-system bound with VMEM-resident intermediates; at those
-rates a further FLOP-side win cannot move them. GL decode's direct-DFT
-trades ~28x the FLOPs for minimal traffic and reaches 41% nominal MFU
-(~41% executed too: interior iterations are single-pass bf16) — within
-2.5x of the absolute MXU ceiling, i.e. the remaining headroom is bounded
-and the path is genuinely compute-bound, not scheduling-bound.
+  path            a-s/s   GFLOP   TFLOP/s (alg.)  op-GB/s  true-I/O GB/s
+  mel encode      76.7k     8.4   10.8  (5.5%)      1676      19  (2.3%)
+  GL(2) decode    20.3k   239.2   81.0  (41%)       1099       5  (0.6%)
+  phase encode   77-99k     4.9    6-8  (3-4%)      1590      65  (8%)
+  phase decode   41-48k     9.1    6-7  (3-4%)      1490      27  (3%)
+Interpretation: true HBM I/O is 0.6-8% of spec everywhere — nothing is
+HBM-bound at the serving shape, by design (VMEM-resident intermediates;
+op-bytes/time at ~2x the HBM spec is only possible from VMEM). The
+CT/irfft paths are therefore bound by ON-CHIP work: the FFT's non-matmul
+stages (windowing, twiddle, magnitude, layout changes) on the vector
+unit plus VMEM traffic; executed MFU counting the 6 bf16 HIGHEST passes
+is ~21% for mel encode. Cutting passes is a measured dead end (encode
+precision ladder, RESULTS.md). GL decode's direct-DFT trades ~28x the
+FLOPs for minimal traffic and reaches 41% MFU (nominal = executed:
+interior iterations are single-pass bf16) — genuinely compute-bound,
+within ~2.4x of the absolute MXU ceiling.
 
 Run from the repo root (TPU via the axon tunnel):
     python benchmarks/roofline.py
@@ -91,14 +96,24 @@ def hand_count_mel_encode(n_frames: int, n: int, num_mels: int) -> float:
     return float(n_frames * per_frame)
 
 
-def report(name: str, flops: float, nbytes: float, secs: float,
+def io_bytes(out, *args) -> float:
+    """True HBM I/O lower bound: input + output array bytes (everything in
+    between can stay on-chip; XLA's "bytes accessed" cannot separate VMEM
+    from HBM traffic, this can bound it from below)."""
+    leaves = jax.tree_util.tree_leaves((out, args))
+    return float(sum(x.size * x.dtype.itemsize for x in leaves))
+
+
+def report(name: str, flops: float, nbytes: float, hbm_io: float, secs: float,
            audio_s: float, pass_note: str) -> None:
     tflops = flops / secs / 1e12
     gbps = nbytes / secs / 1e9
     print(f"{name:24s} {audio_s / secs:8.0f} a-s/s   "
           f"{flops / 1e9:7.2f} GFLOP  {nbytes / 1e6:7.1f} MB   "
           f"{tflops:6.2f} TFLOP/s ({100 * tflops * 1e12 / PEAK_BF16_FLOPS:4.1f}% peak)   "
-          f"{gbps:5.0f} GB/s ({100 * gbps * 1e9 / PEAK_HBM_BPS:4.1f}% peak)   {pass_note}")
+          f"{gbps:5.0f} GB/s op-bytes   "
+          f"{hbm_io / secs / 1e9:4.1f} GB/s true-I/O "
+          f"({100 * hbm_io / secs / PEAK_HBM_BPS:4.1f}% HBM)   {pass_note}")
 
 
 def main() -> None:
@@ -140,8 +155,8 @@ def main() -> None:
     flops, nbytes = compiled_costs(step, xbs[0])
     hand = hand_count_mel_encode(batch * n_frames, cfg.resolut, cfg.num_mels)
     t = bench.pipelined_time(step, [(x,) for x in xbs], n_lo=20, n_hi=120)
-    report("mel encode", flops, nbytes, t, audio_s,
-           "FFT matmuls HIGHEST (6x bf16 passes)")
+    report("mel encode", flops, nbytes, io_bytes(step(xbs[0]), xbs[0]), t,
+           audio_s, "FFT matmuls HIGHEST (6x bf16 passes)")
     print(f"{'':24s} hand count {hand / 1e9:.2f} GFLOP "
           f"(XLA/hand = {flops / hand:.2f}) — cost model cross-checked")
 
@@ -157,7 +172,8 @@ def main() -> None:
     flops, nbytes = compiled_costs(gl, logmels[0], keys)
     t = bench.pipelined_time(gl, [(m, keys) for m in logmels], n_lo=5, n_hi=25)
     report(f"griffin-lim({cfg.griffin_lim_iterations}) decode", flops, nbytes,
-           t, audio_s, "interior DEFAULT (1x), final HIGH (3x)")
+           io_bytes(gl(logmels[0], keys), logmels[0], keys), t, audio_s,
+           "interior DEFAULT (1x), final HIGH (3x)")
 
     pc = PhaseConfig.cli_default()
     pwin = jnp.asarray(hann_window(pc.resolut), jnp.float32)
@@ -168,12 +184,12 @@ def main() -> None:
     specs = [pe(x) for x in xbs]
     flops, nbytes = compiled_costs(pe, xbs[0])
     t = bench.pipelined_time(pe, [(x,) for x in xbs], n_lo=8, n_hi=40)
-    report("phase encode", flops, nbytes, t, audio_s,
-           "FFT matmuls HIGHEST (6x bf16 passes)")
+    report("phase encode", flops, nbytes, io_bytes(specs[0], xbs[0]), t,
+           audio_s, "FFT matmuls HIGHEST (6x bf16 passes)")
     flops, nbytes = compiled_costs(pd, specs[0])
     t = bench.pipelined_time(pd, [(s,) for s in specs], n_lo=8, n_hi=40)
-    report("phase decode", flops, nbytes, t, audio_s,
-           "XLA native irfft (vector unit)")
+    report("phase decode", flops, nbytes, io_bytes(pd(specs[0]), specs[0]), t,
+           audio_s, "XLA native irfft (vector unit)")
 
 
 if __name__ == "__main__":
