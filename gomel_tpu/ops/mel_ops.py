@@ -73,13 +73,17 @@ def mel_decode(logmel: jax.Array, frame_len: int, hop: int,
                inv_weights: jax.Array, n_iter: int, key: jax.Array,
                tune_mul: float = 1.0, tune_add: float = 0.0,
                window: jax.Array | None = None,
-               fft_backend: str = "auto") -> jax.Array:
+               fft_backend: str = "auto",
+               momentum: float = 0.0) -> jax.Array:
     """log-mel [F, num_mels, 2] -> audio via Griffin-Lim (reference:
     mel/mel.go:142-152). Output length N + (F-1)*hop, un-normalized overlap-add
     amplitude exactly like the reference (window-sum division is commented out
-    there, mel/mel.go:127-132)."""
+    there, mel/mel.go:127-132). ``momentum`` > 0 opts into the accelerated
+    fast-Griffin-Lim update (see ops/griffinlim.py); 0.0 is exact reference
+    behavior."""
     lin = mel_to_linear(logmel, inv_weights, tune_mul, tune_add)
     mag = griffin_lim_magnitudes(lin)
     # window=None (or a host-side np window) lets griffin_lim fold the
     # window into the mm-path DFT weights — pass it through untouched
-    return griffin_lim(mag, hop, n_iter, key, window, fft_backend=fft_backend)
+    return griffin_lim(mag, hop, n_iter, key, window, fft_backend=fft_backend,
+                       momentum=momentum)

@@ -290,13 +290,19 @@ def sharded_istft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32):
 
 
 def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
-                           dtype=jnp.float32):
+                           dtype=jnp.float32, momentum: float = 0.0):
     """Build a jitted sharded Griffin-Lim:
     (mag [B, F_pad, N/2+1], sig0 [B, F_pad*hop]) -> [B, F_pad*hop].
 
     The signal carry stays shard-resident in HBM across the ``fori_loop``;
     per iteration: left-halo pull (analysis) + right-halo push (synthesis).
     Un-normalized overlap-add, matching /root/reference/mel/mel.go:111-135.
+
+    ``momentum`` > 0 enables the fast-Griffin-Lim extrapolation (see
+    ops/griffinlim.py) — it is a pointwise axpy on the shard-local signal
+    carry, so it adds NO collectives and no halo traffic; ~2-4x fewer
+    iterations for equal convergence makes it the preferred way to run the
+    long-form GL-64 class of workloads (RESULTS.md "GL momentum").
     """
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
 
@@ -336,8 +342,18 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
                     mag * unit_re, mag * unit_im, wnp, plan, window.dtype)
             return _local_overlap_add(rec_w, plan)
 
-        sig = jax.lax.fori_loop(0, max(n_iter - 1, 0),
-                                lambda _, s: body(s, False), sig0)
+        mom = float(momentum)
+        if mom != 0.0:
+            def accel(_, carry):
+                c, t_prev = carry
+                t = body(c, False)
+                return t + mom * (t - t_prev), t
+
+            sig, _ = jax.lax.fori_loop(0, max(n_iter - 1, 0), accel,
+                                       (sig0, sig0))
+        else:
+            sig = jax.lax.fori_loop(0, max(n_iter - 1, 0),
+                                    lambda _, s: body(s, False), sig0)
         if n_iter >= 1:
             sig = body(sig, True)
         return sig
@@ -421,11 +437,13 @@ def sharded_mel_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_mels: int,
 def sharded_mel_decode_fn(mesh: Mesh, plan: FrameShardPlan,
                           inv_weights: jax.Array, n_iter: int,
                           tune_mul: float = 1.0, tune_add: float = 0.0,
-                          dtype=jnp.float32):
+                          dtype=jnp.float32, momentum: float = 0.0):
     """[B, F_pad, num_mels, 2] log-mel + PRNG key -> [B, F_pad*hop] audio via
-    sharded Griffin-Lim (parity: /root/reference/mel/mel.go:142-152)."""
+    sharded Griffin-Lim (parity: /root/reference/mel/mel.go:142-152;
+    ``momentum`` > 0 = opt-in fast-GL, ops/griffinlim.py)."""
     inv = jnp.asarray(inv_weights, dtype=dtype)
-    gl = sharded_griffin_lim_fn(mesh, plan, n_iter, dtype=dtype)
+    gl = sharded_griffin_lim_fn(mesh, plan, n_iter, dtype=dtype,
+                                momentum=momentum)
     sig_sharding = NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS))
 
     @jax.jit

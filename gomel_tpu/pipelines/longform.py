@@ -130,16 +130,23 @@ class LongFormMel(_LongFormBase):
         xp, b = self._prep_signal(x, plan)
         return fn(xp)[:b, : plan.n_frames]
 
-    def decode(self, logmel, seed: int = 0) -> jax.Array:
-        """[B, F, num_mels, 2] -> [B, out_len] via sharded Griffin-Lim."""
+    def decode(self, logmel, seed: int = 0,
+               momentum: float = 0.0) -> jax.Array:
+        """[B, F, num_mels, 2] -> [B, out_len] via sharded Griffin-Lim.
+
+        ``momentum`` > 0 opts into fast-GL (ops/griffinlim.py): ~2-4x fewer
+        iterations for equal convergence at no per-iteration cost — the
+        preferred setting for the long-form GL-64 class of workloads.
+        """
         logmel = jnp.asarray(logmel, dtype=self.dtype)
         plan = self._plan_for_frames(logmel.shape[1])
         c = self.config
         fn = self._get(("dec", plan.n_frames_padded, plan.n_frames,
-                        c.griffin_lim_iterations), lambda: (
+                        c.griffin_lim_iterations, momentum), lambda: (
             sh.sharded_mel_decode_fn(self.mesh, plan, self._inv,
                                      c.griffin_lim_iterations,
-                                     c.tune_mul, c.tune_add, self.dtype)))
+                                     c.tune_mul, c.tune_add, self.dtype,
+                                     momentum=momentum)))
         logmel_p, b = self._pad_batch(sh.pad_frames_for_plan(logmel, plan))
         out = fn(logmel_p, jax.random.PRNGKey(seed))
         return out[:b, : plan.out_len]

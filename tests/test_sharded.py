@@ -124,6 +124,28 @@ def test_sharded_griffin_lim_matches_unsharded(mesh):
                                atol=2e-3, rtol=2e-3)
 
 
+def test_sharded_griffin_lim_momentum_matches_unsharded(mesh):
+    """Fast-GL (momentum) parity: the extrapolation is pointwise on the
+    shard-local carry, so the sharded loop must track the unsharded one
+    exactly like the plain-GL case."""
+    L = FRAME_LEN + 41 * HOP
+    x = _sig(L, b=2)
+    plan = _plan_for(L)
+    spec = jax.vmap(lambda s: stft(s, FRAME_LEN, HOP))(jnp.asarray(x))
+    mag = jnp.abs(spec)
+    init = jnp.asarray(
+        np.random.default_rng(7).random((2, plan.sharded_signal_len)),
+        dtype=jnp.float32)
+    win = jnp.asarray(hann_window(FRAME_LEN), dtype=jnp.float32)
+    want = jax.vmap(lambda m, s0: griffin_lim(
+        m, HOP, 6, jax.random.PRNGKey(0), win, init=s0[: plan.out_len],
+        momentum=0.99))(mag, init)
+    gl = sh.sharded_griffin_lim_fn(mesh, plan, 6, momentum=0.99)
+    got = gl(sh.pad_frames_for_plan(mag, plan), init)[:, : plan.out_len]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+
+
 def test_sharded_griffin_lim_nondivisible_frame_hop(mesh):
     # frame_len not a multiple of hop (like the flagship 4096/1280)
     fl, hop = 160, 48
