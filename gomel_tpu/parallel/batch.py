@@ -111,7 +111,10 @@ class BatchedMel:
     """
 
     def __init__(self, config: MelConfig | None = None,
-                 mesh: Mesh | None = None, dtype=jnp.float32):
+                 mesh: Mesh | None = None, dtype=jnp.float32,
+                 gl_momentum: float = 0.0):
+        # gl_momentum > 0 opts into fast-GL for every decode from this
+        # instance (ops/griffinlim.py); 0.0 = exact reference behavior
         self.config = config or MelConfig()
         self.mesh = mesh
         self.dtype = dtype
@@ -128,7 +131,8 @@ class BatchedMel:
         self._decode = jax.jit(jax.vmap(
             lambda m, k: mel_decode(m, c.resolut, c.window, self._inv,
                                     c.griffin_lim_iterations, k,
-                                    c.tune_mul, c.tune_add, None)))
+                                    c.tune_mul, c.tune_add, None,
+                                    momentum=float(gl_momentum))))
 
     def _shard(self, arr):
         if self.mesh is None:
