@@ -272,6 +272,9 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--resolut", type=int, default=4096)
     p.add_argument("--fmax", type=float, default=16000.0)
     p.add_argument("--griffin-lim-iterations", type=int, default=2)
+    p.add_argument("--gl-momentum", type=float, default=0.0,
+                   help="fast-GL acceleration (0=reference behavior; 0.99 "
+                        "converges like ~2-4x the iterations)")
     p.add_argument("--volume-boost", type=float, default=0.0)
     a = p.parse_args(argv)
 
@@ -299,7 +302,7 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
 
     n_done = 0
     used: set = set()
-    bm = BatchedMel(cfg)
+    bm = BatchedMel(cfg, gl_momentum=a.gl_momentum)
     for frames, items in groups.items():
         for s in range(0, len(items), a.max_batch):
             chunk = items[s:s + a.max_batch]

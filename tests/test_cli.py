@@ -158,3 +158,13 @@ def test_batch_decode_roundtrip(tmp_path):
                         "--resolut", "1024", "--num-mels", "32",
                         "--sample-rate", "48000"]) == 0
     assert len(list(wavm.iterdir())) == 3
+
+    # fast-GL decode: flag accepted, outputs differ from plain GL
+    wavf = tmp_path / "wavf"
+    assert batch_towav([str(pngm), "--out-dir", str(wavf), "--window", "256",
+                        "--resolut", "1024", "--num-mels", "32",
+                        "--sample-rate", "48000",
+                        "--gl-momentum", "0.99"]) == 0
+    a, _ = load_wav(str(wavm / "u0.wav.png.wav"))
+    b, _ = load_wav(str(wavf / "u0.wav.png.wav"))
+    assert a.shape == b.shape and not np.array_equal(a, b)
