@@ -101,3 +101,34 @@ def scaling_efficiency(single: ThroughputResult, multi: ThroughputResult
     """Throughput(N devices) / (N * throughput(1 device))."""
     base = single.audio_seconds_per_second
     return multi.audio_seconds_per_second / (multi.n_devices * base)
+
+
+def spectral_convergence(signal, mag_target, frame_len: int, hop: int,
+                         window=None, scale_invariant: bool = True) -> float:
+    """Reconstruction-quality metric: relative L2 distance between the
+    windowed-STFT magnitudes of ``signal`` and target magnitudes
+    ``mag_target`` [F, frame_len//2+1] (lower is better).
+
+    ``scale_invariant=True`` (default) factors out the overall amplitude
+    with the least-squares optimal scale c — required when judging the
+    reference-parity Griffin-Lim, whose overlap-add is NOT window-sum
+    normalized (/root/reference/mel/mel.go:127-132) and therefore carries a
+    constant gain that would otherwise dominate the metric. This is the
+    quality number used throughout benchmarks/RESULTS.md.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.stft import frame_signal, hann_window
+
+    if window is None:
+        window = jnp.asarray(hann_window(frame_len), signal.dtype)
+    frames = frame_signal(signal, frame_len, hop)
+    n_f = min(frames.shape[0], mag_target.shape[0])
+    a = jnp.abs(jnp.fft.rfft(frames[:n_f] * window, axis=-1))
+    mag = mag_target[:n_f]
+    if scale_invariant:
+        c = jnp.vdot(a, mag) / jnp.vdot(mag, mag)
+    else:
+        c = jnp.asarray(1.0, a.dtype)
+    return float(jnp.linalg.norm(a - c * mag)
+                 / (jnp.abs(c) * jnp.linalg.norm(mag)))

@@ -12,7 +12,8 @@ import numpy as np
 import pytest
 
 from gomel_tpu.ops.griffinlim import griffin_lim
-from gomel_tpu.ops.stft import frame_signal, hann_window, stft
+from gomel_tpu.ops.stft import stft
+from gomel_tpu.utils.metrics import spectral_convergence
 
 FRAME_LEN, HOP = 256, 64
 
@@ -30,17 +31,9 @@ def _consistent_mag(n_frames: int, seed: int = 3):
 
 
 def _residual(mag, sig):
-    """Scale-invariant spectral-convergence residual.
-
-    The reference GL's overlap-add is NOT window-sum-normalized
-    (mel/mel.go:127-132), so the reconstruction carries a fixed overall
-    scale; factor it out with the least-squares optimal c before comparing:
-    || |STFT(w*sig)| - c*mag || / ||c*mag||."""
-    frames = frame_signal(sig, FRAME_LEN, HOP)
-    w = jnp.asarray(hann_window(FRAME_LEN), sig.dtype)
-    a = jnp.abs(jnp.fft.rfft(frames * w, axis=-1))
-    c = jnp.vdot(a, mag) / jnp.vdot(mag, mag)
-    return float(jnp.linalg.norm(a - c * mag) / (jnp.abs(c) * jnp.linalg.norm(mag)))
+    """Scale-invariant spectral convergence (see utils.metrics docstring for
+    why scale invariance is required against the un-normalized GL)."""
+    return spectral_convergence(sig, mag, FRAME_LEN, HOP)
 
 
 def test_momentum_loop_matches_handrolled_fgla():
