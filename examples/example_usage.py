@@ -39,6 +39,10 @@ def example_mel_roundtrip():
     print("log-mel:", logmel.shape)
     wav = m.decode(logmel, seed=0)               # Griffin-Lim, explicit PRNG
     print("reconstructed:", wav.shape)
+    # opt-in fast-GL (FGLA momentum): ~2-4x fewer iterations for equal
+    # convergence at the same per-iteration cost (RESULTS.md "GL momentum")
+    wav_fast = m.decode(logmel, seed=0, momentum=0.99)
+    print("fast-GL reconstructed:", wav_fast.shape)
 
 
 def example_files(tmpdir="/tmp/gomel_tpu_example"):
