@@ -173,7 +173,7 @@ def main() -> None:
     t = bench.pipelined_time(gl, [(m, keys) for m in logmels], n_lo=5, n_hi=25)
     report(f"griffin-lim({cfg.griffin_lim_iterations}) decode", flops, nbytes,
            io_bytes(gl(logmels[0], keys), logmels[0], keys), t, audio_s,
-           "interior DEFAULT (1x), final HIGH (3x)")
+           "interior mm-DEFAULT (1x), final XLA irfft")
 
     pc = PhaseConfig.cli_default()
     pwin = jnp.asarray(hann_window(pc.resolut), jnp.float32)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.config import MelConfig
+from ..core.config import ConfigError, MelConfig
 from ..core.filterbank import mel_weights, inverse_mel_weights
 from ..core.framing import is_padded, pad_length
 from ..io import audio as audio_io
@@ -111,6 +111,17 @@ class Mel:
         _, inv = self._weights()
         c = self.config
         logmel = jnp.asarray(logmel, dtype=self.dtype)
+        if logmel.ndim >= 2 and logmel.shape[-2] != c.num_mels:
+            # Same footgun exists in the reference (NewMel defaults to 160
+            # mels, mel/mel.go:32, while the CLI bakes 192,
+            # cmd/tomel/main.go:28) — fail with the cause instead of a
+            # shape error deep in the einsum.
+            raise ConfigError(
+                f"spectrogram has {logmel.shape[-2]} mel bins but "
+                f"config.num_mels={c.num_mels}; decode with the same "
+                f"config the image was written with (the CLI preset "
+                f"MelConfig.cli_default() uses 192 mels, bare MelConfig() "
+                f"uses the NewMel default 160)")
         key = jax.random.PRNGKey(seed)
         return _decode_jit(logmel, inv, key, c.resolut, c.window,
                            c.griffin_lim_iterations, c.tune_mul, c.tune_add,

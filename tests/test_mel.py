@@ -140,6 +140,21 @@ def test_from_mel_end_to_end_shape_and_sanity():
     assert abs(c) > 0.3, f"reconstruction uncorrelated: {c}"
 
 
+def test_decode_num_mels_mismatch_raises_config_error():
+    """Decoding a spectrogram whose mel count disagrees with the config must
+    fail with a ConfigError naming the cause, not an einsum shape error.
+
+    The footgun is real in the reference too: NewMel defaults to 160 mels
+    (mel/mel.go:32) while the CLI presets bake 192 (cmd/tomel/main.go:28),
+    so a CLI-written PNG cannot be decoded by a default-config Mel."""
+    from gomel_tpu.core.config import ConfigError
+
+    m = Mel(MelConfig(num_mels=160), dtype=jnp.float64)
+    spec = np.zeros((4, 192, 2))
+    with pytest.raises(ConfigError, match="192 mel bins .*num_mels=160"):
+        m.decode(spec)
+
+
 def test_dumpbuffer_image_parity():
     """Image() per-channel min/max uint16 packing (mel/impl.go:16-44)."""
     rng = np.random.RandomState(7)
