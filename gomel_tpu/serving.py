@@ -1,0 +1,196 @@
+"""AOT serving artifacts: portable pre-compiled codec functions.
+
+Production deployments want the codec WITHOUT tracing/compiling at process
+start and WITHOUT shipping the framework's Python graph-building code to the
+serving fleet. ``jax.export`` gives exactly that on TPU: trace + lower once
+at build time, serialize the StableHLO artifact, and ``call`` it from any
+process (the serving binary only needs jax + the artifact bytes).
+
+This module packages the four codec entry points (mel/phase x encode/decode)
+as export builders with the framework's weights and config BAKED INTO the
+artifact as constants — a serving artifact is self-contained and immutable:
+
+    from gomel_tpu import serving, MelConfig
+    exp = serving.export_mel_encoder(MelConfig.cli_default(), seconds=30.0,
+                                     sample_rate=48000, batch=None)
+    serving.save_exported(exp, "mel_enc_b_n1440000.jaxexp")
+    # ... on the serving host:
+    enc = serving.load_exported("mel_enc_b_n1440000.jaxexp")
+    logmel = enc.call(audio_batch)          # [B, 1440000] -> [B, F, 192, 2]
+
+Design decisions (TPU-first):
+- **Static audio length per artifact** (``seconds`` / ``n_frames``): frame
+  math must be static for XLA; serving fleets bucket by length anyway
+  (parallel/batch.py uses the same bucketing). The length is rounded up to
+  the reference padding grid (core/framing.pad_length) and recorded in the
+  artifact's input shape.
+- **Symbolic batch dimension by default** (``batch=None``): one artifact
+  serves every batch size; pass an int to pin it (pinned batch lets XLA
+  specialize tiling and is what bench.py measures).
+- **Explicit FFT backend**: ops/fftbackend.py's ``"auto"`` resolves against
+  ``jax.default_backend()`` at TRACE time, which would silently bake the
+  export host's backend. Builders default to the measured-optimal TPU
+  backends (CLAUDE.md / benchmarks/RESULTS.md): ``"mxu"`` for encode,
+  ``"mm"`` interior + XLA-irfft final inverse for Griffin-Lim decode,
+  ``"xla"`` for the exact phase iSTFT — and since the matmul FFT paths are
+  plain dot_generals they execute correctly on every platform in
+  ``platforms``, just fastest on TPU.
+- **PRNG keys are inputs, not baked**: the mel decoder takes a per-example
+  ``[B, 2] uint32`` key array (Griffin-Lim init noise, ops/griffinlim.py),
+  so reproducibility stays in the caller's hands.
+
+Reference scope note: the reference (Go CLI + Python port) has no AOT story
+— every process pays full JIT. This module is framework-native added value.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from .core.config import MelConfig, PhaseConfig
+from .core.filterbank import inverse_mel_weights, mel_weights
+from .core.framing import pad_length
+from .ops.mel_ops import mel_decode, mel_encode
+from .ops.phase_ops import phase_decode, phase_encode
+from .ops.stft import hann_window
+
+DEFAULT_PLATFORMS = ("tpu", "cpu")
+
+
+# -- shape helpers -----------------------------------------------------------
+
+def _batch_dim(batch):
+    """int -> that size; None -> a fresh symbolic dimension ``b``."""
+    if batch is None:
+        return jax_export.symbolic_shape("b")[0]
+    if int(batch) <= 0:
+        raise ValueError(f"batch must be positive or None, got {batch}")
+    return int(batch)
+
+
+def padded_samples(seconds: float, sample_rate: int, hop: int) -> int:
+    """Audio length an artifact accepts: ``seconds`` rounded up to the
+    reference padding grid (multiple-of-hop minus... core/framing.py)."""
+    return pad_length(int(round(seconds * sample_rate)), hop)
+
+
+def _n_frames(n_samples: int, frame_len: int, hop: int) -> int:
+    return (n_samples - frame_len) // hop + 1
+
+
+# -- builders ----------------------------------------------------------------
+
+def export_mel_encoder(config: MelConfig, *, seconds: float,
+                       sample_rate: int, batch=None,
+                       dtype=jnp.float32, fft_backend: str = "mxu",
+                       platforms=DEFAULT_PLATFORMS) -> jax_export.Exported:
+    """[B, n_samples] audio -> [B, F, num_mels, 2] log-mel.
+
+    ``n_samples = padded_samples(seconds, sample_rate, config.window)`` —
+    callers pad with zeros to the artifact's input shape (exactly the
+    reference padding content, mel/impl.go:429-455).
+    """
+    c = config
+    n = padded_samples(seconds, sample_rate, c.window)
+    fwd = jnp.asarray(mel_weights(c.n_bins, c.num_mels, c.mel_fmin,
+                                  c.mel_fmax), dtype)
+    win = jnp.asarray(hann_window(c.resolut), dtype)
+
+    def encode_one(x):
+        return mel_encode(x, c.num_mels, c.resolut, c.window, fwd, win,
+                          fft_backend=fft_backend)
+
+    fn = jax.jit(jax.vmap(encode_one))
+    b = _batch_dim(batch)
+    spec = jax.ShapeDtypeStruct((b, n), dtype)
+    return jax_export.export(fn, platforms=list(platforms))(spec)
+
+
+def export_mel_decoder(config: MelConfig, *, n_frames: int, batch=None,
+                       dtype=jnp.float32, fft_backend: str = "mm",
+                       momentum: float = 0.0,
+                       platforms=DEFAULT_PLATFORMS) -> jax_export.Exported:
+    """([B, F, num_mels, 2] log-mel, [B, 2] uint32 keys) -> [B, L] audio.
+
+    L = resolut + (F-1)*window; Griffin-Lim with the config's iteration
+    count. Keys seed the per-example init noise; ``momentum`` > 0 bakes the
+    fast-GL update into the artifact (benchmarks/RESULTS.md "GL momentum").
+    """
+    c = config
+    inv = jnp.asarray(inverse_mel_weights(c.n_bins, c.num_mels, c.mel_fmin,
+                                          c.mel_fmax), dtype)
+
+    def decode_one(logmel, key):
+        return mel_decode(logmel, c.resolut, c.window, inv,
+                          c.griffin_lim_iterations, key,
+                          c.tune_mul, c.tune_add, None,
+                          fft_backend=fft_backend, momentum=momentum)
+
+    fn = jax.jit(jax.vmap(decode_one))
+    b = _batch_dim(batch)
+    spec = jax.ShapeDtypeStruct((b, n_frames, c.num_mels, 2), dtype)
+    kspec = jax.ShapeDtypeStruct((b, 2), jnp.uint32)
+    return jax_export.export(fn, platforms=list(platforms))(spec, kspec)
+
+
+def export_phase_encoder(config: PhaseConfig, *, seconds: float,
+                         batch=None, dtype=jnp.float32,
+                         fft_backend: str = "mxu",
+                         platforms=DEFAULT_PLATFORMS) -> jax_export.Exported:
+    """[B, n_samples] audio -> [B, F, num_freqs, 2] phase spectrogram."""
+    c = config
+    n = padded_samples(seconds, c.sample_rate, c.window)
+    win = jnp.asarray(hann_window(c.resolut), dtype)
+
+    def encode_one(x):
+        return phase_encode(x, c.num_freqs, c.resolut, c.window, win,
+                            fft_backend=fft_backend)
+
+    fn = jax.jit(jax.vmap(encode_one))
+    b = _batch_dim(batch)
+    spec = jax.ShapeDtypeStruct((b, n), dtype)
+    return jax_export.export(fn, platforms=list(platforms))(spec)
+
+
+def export_phase_decoder(config: PhaseConfig, *, n_frames: int, batch=None,
+                         dtype=jnp.float32, fft_backend: str = "xla",
+                         platforms=DEFAULT_PLATFORMS) -> jax_export.Exported:
+    """[B, F, num_freqs, 2] phase spectrogram -> [B, L] audio.
+
+    Direct iSTFT (exact inversion); ``"xla"`` irfft is the measured-fastest
+    AND exact-f32 inverse at serving shapes (benchmarks/RESULTS.md).
+    """
+    c = config
+
+    def decode_one(spec2):
+        return phase_decode(spec2, c.resolut, c.window, c.volume_boost,
+                            None, fft_backend=fft_backend)
+
+    fn = jax.jit(jax.vmap(decode_one))
+    b = _batch_dim(batch)
+    spec = jax.ShapeDtypeStruct((b, n_frames, c.num_freqs, 2), dtype)
+    return jax_export.export(fn, platforms=list(platforms))(spec)
+
+
+# -- persistence -------------------------------------------------------------
+
+_MAGIC = b"GMTPUEXP1\n"
+
+
+def save_exported(exp: jax_export.Exported, path: str) -> None:
+    """Serialize an export artifact to ``path`` (magic + StableHLO blob)."""
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(exp.serialize())
+
+
+def load_exported(path: str) -> jax_export.Exported:
+    """Load an artifact written by :func:`save_exported`; ``.call(*args)``
+    runs it (compiling for the local platform on first call)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if not blob.startswith(_MAGIC):
+        raise ValueError(f"{path} is not a gomel_tpu serving artifact")
+    return jax_export.deserialize(blob[len(_MAGIC):])

@@ -1,0 +1,115 @@
+"""AOT serving artifacts (gomel_tpu/serving.py): jax.export round trips.
+
+The serving story is framework-native added value (the reference has no AOT
+path); what must hold is that a serialized artifact, reloaded from bytes in
+a fresh deserialize, computes exactly what the live pipeline computes, for
+any batch size when exported with a symbolic batch dimension.
+"""
+import conftest  # noqa: F401  (forces CPU, 8 virtual devices)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gomel_tpu import MelConfig, PhaseConfig, serving
+
+CFG = MelConfig(num_mels=32, resolut=256, window=64, griffin_lim_iterations=2)
+PCFG = PhaseConfig(sample_rate=8000, resolut=256, window=64, num_freqs=100)
+
+
+def _audio(batch, n, seed=0):
+    return np.random.RandomState(seed).randn(batch, n).astype(np.float32)
+
+
+def test_mel_encoder_artifact_matches_live_path(tmp_path):
+    exp = serving.export_mel_encoder(CFG, seconds=0.05, sample_rate=8000,
+                                     batch=None, fft_backend="xla",
+                                     platforms=("cpu",))
+    path = str(tmp_path / "enc.jaxexp")
+    serving.save_exported(exp, path)
+    art = serving.load_exported(path)
+    n = exp.in_avals[0].shape[1]
+
+    from gomel_tpu.core.filterbank import mel_weights
+    from gomel_tpu.ops.mel_ops import mel_encode
+    from gomel_tpu.ops.stft import hann_window
+    fwd = jnp.asarray(mel_weights(CFG.n_bins, CFG.num_mels, CFG.mel_fmin,
+                                  CFG.mel_fmax), jnp.float32)
+    win = jnp.asarray(hann_window(CFG.resolut), jnp.float32)
+
+    # one symbolic-batch artifact serves multiple batch sizes
+    for batch in (1, 3):
+        x = _audio(batch, n, seed=batch)
+        got = np.asarray(art.call(jnp.asarray(x)))
+        for i in range(batch):
+            ref = mel_encode(jnp.asarray(x[i]), CFG.num_mels, CFG.resolut,
+                             CFG.window, fwd, win, fft_backend="xla")
+            np.testing.assert_allclose(got[i], np.asarray(ref), atol=1e-6)
+
+
+def test_mel_decoder_artifact_matches_live_griffin_lim(tmp_path):
+    eexp = serving.export_mel_encoder(CFG, seconds=0.05, sample_rate=8000,
+                                      batch=2, fft_backend="xla",
+                                      platforms=("cpu",))
+    n = eexp.in_avals[0].shape[1]
+    logmel = eexp.call(jnp.asarray(_audio(2, n)))
+    F = logmel.shape[1]
+
+    dexp = serving.export_mel_decoder(CFG, n_frames=F, batch=None,
+                                      fft_backend="xla", platforms=("cpu",))
+    path = str(tmp_path / "dec.jaxexp")
+    serving.save_exported(dexp, path)
+    art = serving.load_exported(path)
+
+    keys = jnp.stack([jax.random.PRNGKey(7), jax.random.PRNGKey(8)])
+    wav = np.asarray(art.call(logmel, keys.astype(jnp.uint32)))
+    assert wav.shape == (2, CFG.resolut + (F - 1) * CFG.window)
+
+    from gomel_tpu.core.filterbank import inverse_mel_weights
+    from gomel_tpu.ops.mel_ops import mel_decode
+    inv = jnp.asarray(inverse_mel_weights(CFG.n_bins, CFG.num_mels,
+                                          CFG.mel_fmin, CFG.mel_fmax),
+                      jnp.float32)
+    ref = mel_decode(logmel[1], CFG.resolut, CFG.window, inv,
+                     CFG.griffin_lim_iterations, jax.random.PRNGKey(8),
+                     fft_backend="xla")
+    np.testing.assert_allclose(wav[1], np.asarray(ref), atol=1e-5)
+
+
+def test_phase_artifact_roundtrip_reconstructs_band_limited_audio(tmp_path):
+    # num_freqs=100 keeps bins up to 100/128 of Nyquist; a 440 Hz tone at
+    # sr=8000 lives well inside the retained band -> near-exact inversion
+    eexp = serving.export_phase_encoder(PCFG, seconds=0.1, batch=2,
+                                        fft_backend="xla", platforms=("cpu",))
+    n = eexp.in_avals[0].shape[1]
+    t = np.arange(n) / PCFG.sample_rate
+    x = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                  0.3 * np.sin(2 * np.pi * 660 * t)]).astype(np.float32)
+    spec = eexp.call(jnp.asarray(x))
+
+    dexp = serving.export_phase_decoder(PCFG, n_frames=spec.shape[1],
+                                        batch=2, platforms=("cpu",))
+    for p in (str(tmp_path / "pd.jaxexp"),):
+        serving.save_exported(dexp, p)
+        wav = np.asarray(serving.load_exported(p).call(spec))
+    m = PCFG.resolut
+    for i in range(2):
+        c = np.corrcoef(x[i][m:n - m], wav[i][m:n - m])[0, 1]
+        assert c > 0.99, f"row {i}: corr {c}"
+
+
+def test_load_rejects_foreign_file(tmp_path):
+    p = tmp_path / "not_an_artifact.bin"
+    p.write_bytes(b"PNG\x00junk")
+    with pytest.raises(ValueError, match="not a gomel_tpu serving artifact"):
+        serving.load_exported(str(p))
+
+
+def test_pinned_batch_rejects_other_batch_size():
+    exp = serving.export_mel_encoder(CFG, seconds=0.05, sample_rate=8000,
+                                     batch=2, fft_backend="xla",
+                                     platforms=("cpu",))
+    n = exp.in_avals[0].shape[1]
+    with pytest.raises(Exception):
+        exp.call(jnp.asarray(_audio(3, n)))
