@@ -97,6 +97,26 @@ def example_longform():
     print(f"frame-sharded over {n} devices: spec {spec.shape} wav {wav.shape}")
 
 
+def example_serving(tmpdir="/tmp/gomel_tpu_example"):
+    print("\n=== AOT serving artifact (jax.export) ===")
+    import os
+    os.makedirs(tmpdir, exist_ok=True)
+    import jax.numpy as jnp
+    from gomel_tpu import MelConfig, serving
+    cfg = MelConfig.cli_default()
+    # build once (weights baked in, symbolic batch), ship the bytes
+    exp = serving.export_mel_encoder(cfg, seconds=2.0, sample_rate=48000,
+                                     batch=None)
+    path = f"{tmpdir}/mel_enc.jaxexp"
+    serving.save_exported(exp, path)
+    art = serving.load_exported(path)          # serving host: no framework JIT
+    n = exp.in_avals[0].shape[1]
+    batch = np.random.default_rng(3).standard_normal((4, n)).astype(np.float32)
+    logmel = art.call(jnp.asarray(batch))
+    print(f"artifact {os.path.getsize(path)} bytes; "
+          f"batch {batch.shape} -> log-mel {logmel.shape}")
+
+
 if __name__ == "__main__":
     example_phase_roundtrip()
     example_mel_roundtrip()
@@ -104,3 +124,4 @@ if __name__ == "__main__":
     example_compat()
     example_batched()
     example_longform()
+    example_serving()
