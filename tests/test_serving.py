@@ -99,6 +99,20 @@ def test_phase_artifact_roundtrip_reconstructs_band_limited_audio(tmp_path):
         assert c > 0.99, f"row {i}: corr {c}"
 
 
+def test_export_cli_builds_runnable_artifact(tmp_path):
+    from gomel_tpu.cli import tools
+    out = str(tmp_path / "enc.jaxexp")
+    rc = tools.main(["export", "mel-enc", out, "--seconds", "0.2",
+                     "--sample-rate", "48000", "--preset", "lib",
+                     "--platforms", "cpu", "--batch", "2"])
+    assert rc == 0
+    art = serving.load_exported(out)
+    n = art.in_avals[0].shape[1]
+    got = art.call(jnp.asarray(_audio(2, n)))
+    assert got.shape[0] == 2 and got.shape[2] == MelConfig().num_mels
+    assert np.all(np.isfinite(np.asarray(got)))
+
+
 def test_load_rejects_foreign_file(tmp_path):
     p = tmp_path / "not_an_artifact.bin"
     p.write_bytes(b"PNG\x00junk")
