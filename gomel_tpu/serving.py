@@ -39,6 +39,11 @@ Design decisions (TPU-first):
   ``[B, 2] uint32`` key array (Griffin-Lim init noise, ops/griffinlim.py),
   so reproducibility stays in the caller's hands.
 
+Loaded artifacts compose: ``exp.call`` can be used INSIDE a larger
+``jax.jit`` program (tested). ``jax.vmap`` over an artifact is not supported
+upstream (no batching rule for ``call_exported``) — export with a symbolic
+batch dimension instead, which serves any batch size.
+
 Reference scope note: the reference (Go CLI + Python port) has no AOT story
 — every process pays full JIT. This module is framework-native added value.
 """

@@ -113,6 +113,19 @@ def test_export_cli_builds_runnable_artifact(tmp_path):
     assert np.all(np.isfinite(np.asarray(got)))
 
 
+def test_artifact_composes_inside_larger_jit_program():
+    exp = serving.export_mel_encoder(CFG, seconds=0.05, sample_rate=8000,
+                                     batch=None, fft_backend="xla",
+                                     platforms=("cpu",))
+    n = exp.in_avals[0].shape[1]
+    x = jnp.asarray(_audio(2, n))
+    # users embed artifacts in their own jitted programs
+    f = jax.jit(lambda v: jnp.mean(exp.call(v), axis=(1, 3)))
+    got = np.asarray(f(x))
+    ref = np.asarray(exp.call(x)).mean(axis=(1, 3))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
 def test_load_rejects_foreign_file(tmp_path):
     p = tmp_path / "not_an_artifact.bin"
     p.write_bytes(b"PNG\x00junk")
