@@ -86,6 +86,9 @@ def main():
     keys = [jax.random.PRNGKey(0), jax.random.PRNGKey(1)]
     for label, n_iter, mom in (("plain GL-64 (BASELINE config)", 64, 0.0),
                                ("momentum-0.99 GL-16", 16, 0.99),
+                               ("momentum-0.99 GL-20", 20, 0.99),
+                               ("momentum-0.99 GL-24", 24, 0.99),
+                               ("momentum-0.99 GL-32", 32, 0.99),
                                ("plain GL-16 (control)", 16, 0.0),
                                ("momentum-0.99 GL-64", 64, 0.99)):
         f = jax.jit(lambda m, k, ni=n_iter, mm=mom: griffin_lim(
