@@ -88,8 +88,8 @@ def export_tool(argv: Optional[Sequence[str]] = None) -> int:
             momentum=a.momentum, platforms=platforms)
     elif a.kind == "phase-enc":
         exp = serving.export_phase_encoder(
-            _phase_cfg(a), seconds=a.seconds, batch=batch,
-            platforms=platforms)
+            _phase_cfg(a), seconds=a.seconds, sample_rate=a.sample_rate,
+            batch=batch, platforms=platforms)
     else:
         exp = serving.export_phase_decoder(
             _phase_cfg(a), n_frames=a.n_frames, batch=batch,

@@ -77,7 +77,8 @@ def _batch_dim(batch):
 
 def padded_samples(seconds: float, sample_rate: int, hop: int) -> int:
     """Audio length an artifact accepts: ``seconds`` rounded up to the
-    reference padding grid (multiple-of-hop minus... core/framing.py)."""
+    reference padding grid (the minus-one multiple-of-hop scheme,
+    core/framing.pad_length)."""
     return pad_length(int(round(seconds * sample_rate)), hop)
 
 
@@ -141,12 +142,21 @@ def export_mel_decoder(config: MelConfig, *, n_frames: int, batch=None,
 
 
 def export_phase_encoder(config: PhaseConfig, *, seconds: float,
-                         batch=None, dtype=jnp.float32,
-                         fft_backend: str = "mxu",
+                         sample_rate: int = 0, batch=None,
+                         dtype=jnp.float32, fft_backend: str = "mxu",
                          platforms=DEFAULT_PLATFORMS) -> jax_export.Exported:
-    """[B, n_samples] audio -> [B, F, num_freqs, 2] phase spectrogram."""
+    """[B, n_samples] audio -> [B, F, num_freqs, 2] phase spectrogram.
+
+    ``sample_rate`` (falling back to ``config.sample_rate``) converts
+    ``seconds`` to the input sample count — required explicitly for configs
+    that leave the rate unset, e.g. ``PhaseConfig.cli_default()``.
+    """
     c = config
-    n = padded_samples(seconds, c.sample_rate, c.window)
+    sr = int(sample_rate) or c.sample_rate
+    if sr <= 0:
+        raise ValueError("sample_rate must be set (argument or config) to "
+                         "size the artifact's audio input")
+    n = padded_samples(seconds, sr, c.window)
     win = jnp.asarray(hann_window(c.resolut), dtype)
 
     def encode_one(x):

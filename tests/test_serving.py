@@ -99,6 +99,18 @@ def test_phase_artifact_roundtrip_reconstructs_band_limited_audio(tmp_path):
         assert c > 0.99, f"row {i}: corr {c}"
 
 
+def test_phase_encoder_cli_preset_requires_explicit_sample_rate():
+    # PhaseConfig.cli_default() leaves sample_rate=0 (Go parity); without
+    # an explicit rate the input length would be degenerate — must raise.
+    cfg = PhaseConfig.cli_default(resolut=256, window=64, num_freqs=100)
+    with pytest.raises(ValueError, match="sample_rate must be set"):
+        serving.export_phase_encoder(cfg, seconds=0.1, platforms=("cpu",))
+    exp = serving.export_phase_encoder(cfg, seconds=0.1, sample_rate=8000,
+                                       batch=1, fft_backend="xla",
+                                       platforms=("cpu",))
+    assert exp.in_avals[0].shape[1] >= int(0.1 * 8000)
+
+
 def test_export_cli_builds_runnable_artifact(tmp_path):
     from gomel_tpu.cli import tools
     out = str(tmp_path / "enc.jaxexp")
