@@ -216,6 +216,10 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--volume-boost", type=float, default=0.0)
     p.add_argument("--ihs", action="store_true")
     p.add_argument("--hdr", action="store_true")
+    p.add_argument("--metadata-layout", choices=("auto", "go", "py"),
+                   default="auto",
+                   help="metadata layout of the input PNGs: 'go' 16-byte, "
+                        "'py' 12-byte port layout; 'auto' detects")
     a = p.parse_args(argv)
 
     files = _collect_pngs(a.inputs)
@@ -227,7 +231,7 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
     for path in files:
         try:
             spec, samples, sr, nf = imagecodec.load_phase_image(
-                path, True, ihs_passes, a.hdr, layout="auto")
+                path, True, ihs_passes, a.hdr, layout=a.metadata_layout)
         except Exception as e:
             print(f"skipping {path}: {e}", file=sys.stderr)
             continue
@@ -248,8 +252,9 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
             for row, (path, _, samples, sr) in enumerate(chunk):
                 wave = wavs[row]
                 samples_i = int(samples)
-                if samples_i > 0 and is_padded(samples_i, len(wave),
-                                               cfg.window)                         and len(wave) > samples_i:
+                if (samples_i > 0
+                        and is_padded(samples_i, len(wave), cfg.window)
+                        and len(wave) > samples_i):
                     wave = wave[:samples_i]
                 save_wav(_wav_out(path, a.out_dir, used), wave,
                          cfg.family_main_rate)
@@ -313,8 +318,9 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
             for row, (path, _, samples, sr) in enumerate(chunk):
                 wave = wavs[row]
                 samples_i = int(samples)
-                if samples_i > 0 and is_padded(samples_i, len(wave),
-                                               cfg.window)                         and len(wave) > samples_i:
+                if (samples_i > 0
+                        and is_padded(samples_i, len(wave), cfg.window)
+                        and len(wave) > samples_i):
                     wave = wave[:samples_i]
                 out_sr = a.sample_rate if a.sample_rate else int(sr)
                 save_wav(_wav_out(path, a.out_dir, used), wave, out_sr)

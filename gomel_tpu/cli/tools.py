@@ -110,6 +110,10 @@ def _phase_parser(prog: str, png_input: bool) -> argparse.ArgumentParser:
         p.add_argument("--sample-rate", type=int, default=0,
                        help="override output rate (reference fromphase "
                             "documents but never parses this)")
+        p.add_argument("--metadata-layout", choices=("auto", "go", "py"),
+                       default="auto",
+                       help="metadata layout of the input PNG: 'go' 16-byte, "
+                            "'py' 12-byte port layout; 'auto' detects")
     return p
 
 
@@ -143,7 +147,7 @@ def fromphase(argv: Optional[Sequence[str]] = None) -> int:
     outfile = a.output or a.filename + ".wav"
     m = _phase_from_args(a, sample_rate=a.sample_rate)
     try:
-        m.to_wav_png(a.filename, outfile)
+        m.to_wav_png(a.filename, outfile, layout=a.metadata_layout)
     except Exception as e:
         print(f"Error generating wave from spectrogram: {e}", file=sys.stderr)
         return 1

@@ -102,6 +102,10 @@ def load_mel_image(path: str, y_reverse: bool) -> tuple[np.ndarray, float, float
     if y_reverse:
         img = img[::-1, :, :]
     mels, n_frames = img.shape[0], img.shape[1]
+    if mels < MEL_META_BYTES:
+        raise ValueError(
+            f"mel image too small for its metadata layout: {mels} rows < "
+            f"{MEL_META_BYTES}-byte metadata block")
     to8 = (lambda v: (v >> 8).astype(np.uint8)) if img.dtype == np.uint16 else (lambda v: v)
     meta_start = mels - MEL_META_BYTES
     meta = bytes(to8(img[meta_start:, 0, 2]).tolist())
@@ -161,9 +165,25 @@ def save_phase_image(path: str, spec: np.ndarray, y_reverse: bool,
 
 
 def _detect_phase_layout(img: np.ndarray) -> str:
-    """Heuristic layout detection: the Go layout has float16-zero placeholder
-    bytes at offsets 4:6 and 10:12 of its 16-byte block."""
+    """Layout detection for ``layout="auto"``.
+
+    Primary discriminator: the Go writer stores the conjugate hint B = -val0
+    in the blue channel of EVERY pixel (/root/reference/phase/impl.go:229,256)
+    — the pixel holding the per-channel max always quantizes nonzero — while
+    the Python port leaves blue at 0 outside the metadata column
+    (/root/reference/phase.py:695-714). Checking the blue plane away from the
+    metadata column (x >= 1) is therefore exact whenever the image has more
+    than one column, including silent/constant audio whose float16 metadata
+    happens to contain zero bytes.
+
+    Fallback (single-column images only): the Go 16-byte block has
+    float16-zero placeholder bytes at offsets 4:6 and 10:12.
+    """
     nf = img.shape[0]
+    if nf < GO_PHASE_META_BYTES:
+        return "py"  # cannot be the 16-byte Go layout
+    if img.shape[1] > 1:
+        return "go" if np.any(img[:, 1:, 2]) else "py"
     blue = img[:, 0, 2]
     if img.dtype == np.uint16:
         blue = blue & 0xFF
@@ -188,6 +208,13 @@ def load_phase_image(path: str, y_reverse: bool, ihs_passes: int = 0,
     nf, n_frames = img.shape[0], img.shape[1]
     if layout == "auto":
         layout = _detect_phase_layout(img)
+    if layout not in ("go", "py"):
+        raise ValueError(f"unknown metadata layout {layout!r}")
+    need = GO_PHASE_META_BYTES if layout == "go" else PY_PHASE_META_BYTES
+    if nf < need:
+        raise ValueError(
+            f"phase image too small for {layout!r} metadata layout: "
+            f"{nf} rows < {need}-byte metadata block")
 
     if hdr:
         # HDR: 16-bit samples; metadata stored as low byte (phase/impl.go:91-93)

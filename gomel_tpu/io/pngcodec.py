@@ -24,6 +24,11 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Decode-size ceiling for untrusted files (raw filtered scanline bytes).
+# 2 GiB admits ~35 minutes of HDR phase PNG at the flagship config; callers
+# with genuinely larger artifacts may raise it (module attribute).
+MAX_IMAGE_BYTES = 1 << 31
+
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (struct.pack(">I", len(data)) + tag + data
@@ -138,13 +143,17 @@ def read_png(path: str) -> np.ndarray:
     idat = []
     w = h = depth = ctype = interlace = None
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("corrupt PNG: truncated chunk header")
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
         payload = data[pos + 8:pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
+            if len(payload) < 13:
+                raise ValueError("corrupt PNG: truncated IHDR")
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", payload)
+                ">IIBBBBB", payload[:13])
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
@@ -160,8 +169,26 @@ def read_png(path: str) -> np.ndarray:
     channels = _CHANNELS[ctype]
     bpp = channels * (depth // 8)
     rowbytes = w * bpp
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (rowbytes + 1):
+    if w == 0 or h == 0:
+        raise ValueError("corrupt PNG: zero image dimension")
+    expected = h * (rowbytes + 1)
+    # Untrusted-input bounds (same policy as the FLAC decoder's
+    # decompression-bomb guard, native/flacdec.cpp): reject absurd IHDR
+    # dimensions outright, and never inflate more than the image needs —
+    # a KB-scale crafted IDAT must not be able to demand GBs of output.
+    if expected > MAX_IMAGE_BYTES:
+        raise ValueError(
+            f"PNG dimensions {w}x{h} ({channels} ch, depth {depth}) exceed "
+            f"the {MAX_IMAGE_BYTES >> 20} MiB decode limit")
+    try:
+        dec = zlib.decompressobj()
+        raw_bytes = dec.decompress(b"".join(idat), expected)
+        if dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1):
+            raise ValueError("corrupt PNG: IDAT inflates past the image size")
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG: bad IDAT stream ({e})") from None
+    raw = np.frombuffer(raw_bytes, dtype=np.uint8)
+    if raw.size != expected:
         raise ValueError("corrupt PNG: unexpected data size")
 
     lib = get_lib()

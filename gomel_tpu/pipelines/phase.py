@@ -184,14 +184,17 @@ class Phase:
         return np.asarray(self.to_tensor(buf, sr),
                           dtype=np.float64).reshape(-1, 2)
 
-    def to_wav_png(self, input_file: str, output_file: str) -> int:
+    def to_wav_png(self, input_file: str, output_file: str,
+                   layout: str = "auto") -> int:
         """phase PNG -> WAV (reference ToWavPng, phase/phase.go:246-275).
 
         Returns the sample rate written. Output rate is the family main rate
-        (48000/44100) when the object has none configured."""
+        (48000/44100) when the object has none configured. ``layout`` picks
+        the metadata layout of the input image ("go"/"py"; "auto" detects —
+        see imagecodec._detect_phase_layout)."""
         spec, samples, sr, nf = imagecodec.load_phase_image(
             input_file, self.config.y_reverse, self.config.ihs_passes,
-            self.config.hdr, layout="auto")
+            self.config.hdr, layout=layout)
         if nf != self.config.num_freqs:
             # adopt the image's bin count (port behavior, phase.py:329)
             import dataclasses

@@ -1,0 +1,182 @@
+"""Adversarial/untrusted-input tests for the PNG container and image readers.
+
+The PNG readers are an untrusted-input surface (``loadpng`` of arbitrary
+files, /root/reference/mel/impl.go:52-118); like the FLAC decoder's
+decompression-bomb guard (native/flacdec.cpp, io/flac.py), the PNG inflate is
+bounded by what the IHDR claims, absurd IHDR dimensions are rejected before
+any allocation, and images smaller than their metadata block fail with a
+clean ValueError instead of a wrapped-slice struct.error.
+"""
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from gomel_tpu.io import imagecodec, pngcodec
+from gomel_tpu.io.pngcodec import _SIGNATURE, _chunk, read_png, write_png
+
+
+def _png_bytes(ihdr: bytes, idat: bytes) -> bytes:
+    return (_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+def _write(path, data: bytes) -> str:
+    p = str(path)
+    with open(p, "wb") as f:
+        f.write(data)
+    return p
+
+
+def test_absurd_ihdr_dimensions_rejected_before_inflate(tmp_path):
+    # 1M x 1M RGBA/16: header alone demands ~16 TB — must die on the
+    # dimension check, not on an allocation.
+    ihdr = struct.pack(">IIBBBBB", 1_000_000, 1_000_000, 16, 6, 0, 0, 0)
+    p = _write(tmp_path / "huge.png", _png_bytes(ihdr, zlib.compress(b"x")))
+    with pytest.raises(ValueError, match="decode limit"):
+        read_png(p)
+
+
+def test_zero_dimension_rejected(tmp_path):
+    ihdr = struct.pack(">IIBBBBB", 0, 4, 8, 0, 0, 0, 0)
+    p = _write(tmp_path / "zero.png", _png_bytes(ihdr, zlib.compress(b"")))
+    with pytest.raises(ValueError, match="zero image dimension"):
+        read_png(p)
+
+
+def test_decompression_bomb_is_bounded(tmp_path):
+    #
+
+    # A 4x4 gray image needs 4*(4+1)=20 raw bytes, but the IDAT inflates to
+    # 64 MiB from a few KB of input. The reader must stop at the claimed
+    # size and reject, never materializing the full plaintext.
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)
+    assert len(bomb) < 100_000  # it really is a bomb
+    p = _write(tmp_path / "bomb.png", _png_bytes(ihdr, bomb))
+    with pytest.raises(ValueError, match="inflates past"):
+        read_png(p)
+
+
+def test_truncated_file_clean_error(tmp_path):
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = str(tmp_path / "good.png")
+    write_png(good, img)
+    with open(good, "rb") as f:
+        data = f.read()
+    p = _write(tmp_path / "trunc.png", data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        read_png(p)
+
+
+def test_corrupt_idat_clean_error(tmp_path):
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    p = _write(tmp_path / "junk.png", _png_bytes(ihdr, b"not-deflate-data"))
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        read_png(p)
+
+
+def test_exact_size_stream_still_reads(tmp_path):
+    # the bound must not reject legitimate images
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (16, 9, 3), dtype=np.uint8)
+    p = str(tmp_path / "ok.png")
+    write_png(p, img)
+    np.testing.assert_array_equal(read_png(p), img)
+
+
+def test_mel_image_too_small_for_metadata(tmp_path):
+    # 4 mel rows < the 8-byte metadata block: clean error, not struct.error
+    img = np.zeros((4, 6, 4), dtype=np.uint8)
+    p = str(tmp_path / "tiny_mel.png")
+    write_png(p, img)
+    with pytest.raises(ValueError, match="too small"):
+        imagecodec.load_mel_image(p, y_reverse=False)
+
+
+def test_phase_image_too_small_for_metadata(tmp_path):
+    # 8 rows < 12-byte py layout and < 16-byte go layout
+    img = np.zeros((8, 6, 4), dtype=np.uint8)
+    p = str(tmp_path / "tiny_phase.png")
+    write_png(p, img)
+    with pytest.raises(ValueError, match="too small"):
+        imagecodec.load_phase_image(p, y_reverse=False, layout="go")
+    with pytest.raises(ValueError, match="too small"):
+        imagecodec.load_phase_image(p, y_reverse=False, layout="py")
+    with pytest.raises(ValueError, match="too small"):
+        imagecodec.load_phase_image(p, y_reverse=False, layout="auto")
+
+
+def test_unknown_layout_rejected(tmp_path):
+    img = np.zeros((20, 6, 4), dtype=np.uint8)
+    p = str(tmp_path / "p.png")
+    write_png(p, img)
+    with pytest.raises(ValueError, match="unknown metadata layout"):
+        imagecodec.load_phase_image(p, y_reverse=False, layout="bogus")
+
+
+def test_bounded_decode_limit_is_adjustable(tmp_path, monkeypatch):
+    ihdr = struct.pack(">IIBBBBB", 64, 64, 8, 0, 0, 0, 0)
+    raw = bytes(64 * 65)
+    p = _write(tmp_path / "cap.png", _png_bytes(ihdr, zlib.compress(raw)))
+    monkeypatch.setattr(pngcodec, "MAX_IMAGE_BYTES", 1024)
+    with pytest.raises(ValueError, match="decode limit"):
+        read_png(p)
+
+
+# ---------------------------------------------------------------------------
+# Layout auto-detection on degenerate (silent/constant) content
+# ---------------------------------------------------------------------------
+
+def _roundtrip_layout(tmp_path, spec, layout):
+    p = str(tmp_path / f"{layout}.png")
+    imagecodec.save_phase_image(p, spec, y_reverse=True, samples_in_mel=100.0,
+                                sample_rate=48000.0, layout=layout)
+    got, samples, sr, nf = imagecodec.load_phase_image(p, y_reverse=True,
+                                                       layout="auto")
+    return got, samples, sr, nf
+
+
+@pytest.mark.parametrize("layout", ["go", "py"])
+def test_layout_autodetect_on_silent_content(tmp_path, layout):
+    """A silent/constant spectrogram has float16-zero metadata bytes exactly
+    where the old placeholder heuristic looked; the blue-plane discriminator
+    must still classify both layouts correctly."""
+    spec = np.zeros((6, 24, 2), dtype=np.float64)
+    got, samples, sr, nf = _roundtrip_layout(tmp_path, spec, layout)
+    assert nf == 24
+    assert sr == 48000.0
+    # silent content must decode back to exactly zero
+    np.testing.assert_array_equal(got, 0.0)
+
+
+@pytest.mark.parametrize("layout", ["go", "py"])
+def test_layout_autodetect_on_normal_content(tmp_path, layout):
+    rng = np.random.default_rng(1)
+    spec = rng.standard_normal((10, 32, 2))
+    got, samples, sr, nf = _roundtrip_layout(tmp_path, spec, layout)
+    assert nf == 32
+    # 8-bit quantization tolerance
+    np.testing.assert_allclose(got, spec, atol=1.5 * np.ptp(spec) / 255)
+
+
+def test_fromphase_cli_metadata_layout_override(tmp_path):
+    """A silent-content py-layout PNG round-trips via the CLI, both with
+    explicit --metadata-layout py and with auto-detection (VERDICT item 7)."""
+    from gomel_tpu.cli import tools
+
+    nf, frames = 24, 6
+    spec = np.zeros((frames, nf, 2), dtype=np.float64)
+    png = str(tmp_path / "silent.png")
+    imagecodec.save_phase_image(png, spec, y_reverse=True,
+                                samples_in_mel=0.0, sample_rate=48000.0,
+                                layout="py")
+    for extra in (["--metadata-layout", "py"], []):
+        wav = str(tmp_path / f"out{len(extra)}.wav")
+        rc = tools.fromphase([png, "-o", wav, "--resolut", "256",
+                              "--window", "64", "--num-freqs", "24"] + extra)
+        assert rc == 0
+        from gomel_tpu.io.audio import load_wav
+        rec, _ = load_wav(wav)
+        assert np.allclose(rec, 0.0)
