@@ -10,9 +10,9 @@ Replaces the reference's Go codecs:
 - The Python port uses channel-MEAN for stereo (/root/reference/phase.py:488-489);
   ``mono="mean"`` reproduces that, ``mono="left"`` the Go channel-0 behavior.
 
-This environment has no soundfile/libsndfile, so WAV goes through
-scipy.io.wavfile and FLAC through our own native decoder
-(gomel_tpu/native/flacdec.cpp via gomel_tpu.io.flac).
+This environment has no soundfile/libsndfile, so WAV goes through the
+in-tree codec (gomel_tpu/io/wavcodec.py) and FLAC through our own native
+decoder (gomel_tpu/native/flacdec.cpp via gomel_tpu.io.flac).
 """
 from __future__ import annotations
 

@@ -38,9 +38,33 @@ def list_audio_files(root: str, recursive: bool = True) -> List[str]:
     return sorted(out)
 
 
+def shard_files_for_process(files: Sequence[str],
+                            process_index: Optional[int] = None,
+                            process_count: Optional[int] = None) -> List[str]:
+    """Per-process file shard for multi-host ingest: process ``p`` takes
+    files ``p, p+P, p+2P, ...`` (stride = process count).
+
+    This is the host-side half of ``BatchedMel/Phase(input_mode=
+    "process_local")``: each process decodes only its own files and passes
+    the resulting rows; the strided split keeps per-process counts within one
+    file of each other, so equal local batch sizes (the SPMD requirement)
+    need at most one padding row. Defaults come from the live
+    ``jax.distributed`` bring-up; on a single process this is the identity.
+    """
+    if process_index is None or process_count is None:
+        import jax
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    if not 0 <= process_index < process_count:
+        raise ValueError(f"process_index {process_index} not in "
+                         f"[0, {process_count})")
+    return list(files[process_index::process_count])
+
+
 def load_audio(path: str, mono: str = "left",
                flac_scaling: str = "phase") -> tuple[np.ndarray, int]:
-    """Decode one file by extension (WAV via scipy, FLAC via native decoder)."""
+    """Decode one file by extension (WAV via the in-tree io/wavcodec.py,
+    FLAC via the native decoder)."""
     if path.lower().endswith(".flac"):
         return audio_io.load_flac(path, mono=mono, scaling=flac_scaling)
     return audio_io.load_wav(path, mono=mono)

@@ -9,9 +9,12 @@ from .mesh import (
     FRAME_AXIS,
     batch_frame_sharding,
     data_sharding,
+    host_to_global,
     initialize_multihost,
     is_multihost,
+    local_rows_to_global,
     make_mesh,
+    process_local_batch_multiple,
     replicated,
     single_device_mesh,
 )
@@ -19,6 +22,7 @@ from .batch import (
     BatchedMel,
     BatchedPhase,
     Bucket,
+    local_rows,
     make_buckets,
     pad_batch_to_multiple,
 )
@@ -40,7 +44,8 @@ __all__ = [
     "DATA_AXIS", "FRAME_AXIS", "make_mesh", "single_device_mesh",
     "data_sharding", "batch_frame_sharding", "replicated",
     "initialize_multihost", "is_multihost",
-    "BatchedMel", "BatchedPhase", "Bucket", "make_buckets",
+    "host_to_global", "local_rows_to_global", "process_local_batch_multiple",
+    "BatchedMel", "BatchedPhase", "Bucket", "local_rows", "make_buckets",
     "pad_batch_to_multiple",
     "FrameShardPlan", "plan_frame_sharding", "pad_signal_for_plan",
     "pad_frames_for_plan", "sharded_stft_fn", "sharded_istft_fn",

@@ -8,19 +8,23 @@ already defines the exact trim-back logic (``is_padded``). True lengths ride
 along as a mask source, mirroring how the PNG metadata's ``samples_in_mel``
 encodes recoverable length (SURVEY.md §5).
 
-Batches are sharded over the mesh 'data' axis via NamedSharding; with a
-multi-host mesh the same code scales out (collectives are only in the
-frame-sharded path, parallel/sharded.py).
+Batches are sharded over the mesh 'data' axis. On a REAL multi-process mesh
+(``jax.process_count() > 1``) the pipelines construct process-global arrays —
+either from an identical replicated host batch or from each process's own
+rows (``input_mode="process_local"``, fed by
+``io.dataset.shard_files_for_process``) — never ``jax.device_put`` of a
+host-global array, which cannot address other processes' devices.
 """
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.config import MelConfig, PhaseConfig
 from ..core.framing import pad_length
@@ -28,7 +32,8 @@ from ..core.filterbank import mel_weights, inverse_mel_weights
 from ..ops.mel_ops import mel_encode, mel_decode
 from ..ops.phase_ops import phase_encode, phase_decode
 from ..ops.stft import hann_window
-from .mesh import DATA_AXIS
+from .mesh import (DATA_AXIS, host_to_global, local_rows_to_global,
+                   process_local_batch_multiple)
 
 
 # ---------------------------------------------------------------------------
@@ -103,7 +108,113 @@ def pad_batch_to_multiple(bucket: Bucket, multiple: int) -> Bucket:
 # Data-parallel codec pipelines
 # ---------------------------------------------------------------------------
 
-class BatchedMel:
+@functools.partial(jax.jit, static_argnums=1)
+def _take_rows(a, n):
+    """jitted leading-axis trim — works on non-fully-addressable global
+    arrays (eager slicing of those is forbidden on multi-process meshes)."""
+    return a[:n]
+
+
+def local_rows(global_arr, n_rows: int | None = None) -> np.ndarray:
+    """Extract THIS process's batch rows from a data-sharded global array.
+
+    Inverse of the ``input_mode="process_local"`` ingest: concatenates the
+    process's addressable shards in data-axis order (deduplicating replicas
+    along other mesh axes) and optionally trims to the process's true row
+    count. On a single process this is just ``np.asarray(arr)[:n_rows]``.
+    """
+    by_start: dict[int, np.ndarray] = {}
+    for s in global_arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_start:
+            by_start[start] = np.asarray(s.data)
+    rows = np.concatenate([by_start[k] for k in sorted(by_start)], axis=0)
+    return rows if n_rows is None else rows[:n_rows]
+
+
+class _BatchedBase:
+    """Shared mesh/batch plumbing for the data-parallel codec pipelines.
+
+    ``input_mode`` picks the multi-process ingest model (irrelevant when
+    ``jax.process_count() == 1``, where both reduce to ``jax.device_put``):
+
+    - ``"replicated"``: every process passes the identical global batch;
+      each contributes only the shards its devices own.
+    - ``"process_local"``: every process passes its OWN rows (same count
+      everywhere — SPMD needs one global shape); the global batch is their
+      process-order concatenation (``jax.make_array_from_process_local_data``).
+      Results come back as global arrays — use :func:`local_rows` to read
+      this process's slice. Feed it with
+      ``io.dataset.shard_files_for_process``.
+    """
+
+    def __init__(self, mesh: Mesh | None, dtype, input_mode: str):
+        if input_mode not in ("replicated", "process_local"):
+            raise ValueError(f"unknown input_mode {input_mode!r}")
+        self.mesh = mesh
+        self.dtype = dtype
+        self.input_mode = input_mode
+        self._multiproc = jax.process_count() > 1
+        if input_mode == "process_local":
+            if mesh is None:
+                raise ValueError("input_mode='process_local' requires a mesh")
+            self._row_multiple = process_local_batch_multiple(mesh)
+        elif mesh is not None:
+            self._row_multiple = mesh.shape[DATA_AXIS]
+        else:
+            self._row_multiple = 1
+
+    def _pad_rows(self, arr):
+        """Pad the batch dim to the row multiple; return (arr, true_rows).
+        Host-side numpy on multi-process meshes (no device staging)."""
+        host = self._multiproc
+        arr = (np.asarray(arr, dtype=self.dtype) if host
+               else jnp.asarray(arr, dtype=self.dtype))
+        b = arr.shape[0]
+        target = -(-b // self._row_multiple) * self._row_multiple
+        if target != b:
+            pad = ((0, target - b),) + ((0, 0),) * (arr.ndim - 1)
+            arr = np.pad(arr, pad) if host else jnp.pad(arr, pad)
+        return arr, b
+
+    def _shard(self, arr):
+        if self.mesh is None:
+            return arr
+        if self.input_mode == "process_local":
+            return local_rows_to_global(arr, self.mesh, P(DATA_AXIS))
+        return host_to_global(arr, self.mesh, P(DATA_AXIS))
+
+    def _ingest(self, arr):
+        """Host batch -> (sharded array, true_rows). An already-global array
+        (e.g. this object's encode result on a pod) passes through."""
+        if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+            return arr, arr.shape[0]
+        arr, b = self._pad_rows(arr)
+        return self._shard(arr), b
+
+    def _row_keys(self, n_global: int, seed: int):
+        """Per-row PRNG keys split by GLOBAL row index, so a batch decodes
+        identically regardless of process count/layout. Every process can
+        compute the full key table, so the replicated model applies even
+        under process_local data ingest."""
+        keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed),
+                                           n_global))
+        if self.mesh is None:
+            return jnp.asarray(keys)
+        return host_to_global(keys, self.mesh, P(DATA_AXIS))
+
+    def _trim(self, result, b):
+        """Drop padding rows. In process_local mode the per-process padding
+        rows are interleaved in the global batch (not a suffix), so the
+        global result is returned untrimmed — read it with local_rows()."""
+        if self.input_mode == "process_local" and self._multiproc:
+            return result
+        if result.shape[0] == b:
+            return result
+        return _take_rows(result, b) if self._multiproc else result[:b]
+
+
+class BatchedMel(_BatchedBase):
     """Data-parallel batched mel codec over a mesh's 'data' axis.
 
     One compiled program per (batch, length) shape; weights replicated.
@@ -112,12 +223,11 @@ class BatchedMel:
 
     def __init__(self, config: MelConfig | None = None,
                  mesh: Mesh | None = None, dtype=jnp.float32,
-                 gl_momentum: float = 0.0):
+                 gl_momentum: float = 0.0, input_mode: str = "replicated"):
         # gl_momentum > 0 opts into fast-GL for every decode from this
         # instance (ops/griffinlim.py); 0.0 = exact reference behavior
+        super().__init__(mesh, dtype, input_mode)
         self.config = config or MelConfig()
-        self.mesh = mesh
-        self.dtype = dtype
         c = self.config
         self._fwd = jnp.asarray(
             mel_weights(c.n_bins, c.num_mels, c.mel_fmin, c.mel_fmax), dtype)
@@ -134,31 +244,18 @@ class BatchedMel:
                                     c.tune_mul, c.tune_add, None,
                                     momentum=float(gl_momentum))))
 
-    def _shard(self, arr):
-        if self.mesh is None:
-            return arr
-        return jax.device_put(arr, NamedSharding(self.mesh, P(DATA_AXIS)))
-
-    def _pad_rows(self, arr):
-        """Pad the batch dim to the data-axis multiple; return (arr, B)."""
-        n_data = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
-        b = arr.shape[0]
-        target = -(-b // n_data) * n_data
-        if target != b:
-            arr = jnp.pad(arr, ((0, target - b),) + ((0, 0),) * (arr.ndim - 1))
-        return arr, b
-
     def encode(self, audio_batch) -> jax.Array:
         """[B, L_pad] -> [B, F, num_mels, 2] log-mel (any B: padded
         internally to the mesh's data-axis multiple)."""
-        xb, b = self._pad_rows(jnp.asarray(audio_batch, dtype=self.dtype))
-        return self._encode(self._shard(xb))[:b]
+        xg, b = self._ingest(audio_batch)
+        return self._trim(self._encode(xg), b)
 
     def decode(self, logmel_batch, seed: int = 0) -> jax.Array:
-        """[B, F, num_mels, 2] -> [B, out_len] via Griffin-Lim."""
-        mb, b = self._pad_rows(jnp.asarray(logmel_batch, dtype=self.dtype))
-        keys = jax.random.split(jax.random.PRNGKey(seed), mb.shape[0])
-        return self._decode(self._shard(mb), self._shard(keys))[:b]
+        """[B, F, num_mels, 2] -> [B, out_len] via Griffin-Lim (per-row PRNG
+        streams keyed by global row index)."""
+        mg, b = self._ingest(logmel_batch)
+        return self._trim(
+            self._decode(mg, self._row_keys(mg.shape[0], seed)), b)
 
     def encode_buckets(self, utterances: Sequence[np.ndarray],
                        max_batch: int = 64):
@@ -169,14 +266,14 @@ class BatchedMel:
             yield bucket, self.encode(bucket.audio)
 
 
-class BatchedPhase:
+class BatchedPhase(_BatchedBase):
     """Data-parallel batched phase codec over a mesh's 'data' axis."""
 
     def __init__(self, config: PhaseConfig | None = None,
-                 mesh: Mesh | None = None, dtype=jnp.float32):
+                 mesh: Mesh | None = None, dtype=jnp.float32,
+                 input_mode: str = "replicated"):
+        super().__init__(mesh, dtype, input_mode)
         self.config = config or PhaseConfig()
-        self.mesh = mesh
-        self.dtype = dtype
         c = self.config
         self._window = jnp.asarray(hann_window(c.resolut), dtype)
         self._encode = jax.jit(jax.vmap(
@@ -186,29 +283,16 @@ class BatchedPhase:
             lambda s: phase_decode(s, c.resolut, c.window,
                                    float(c.volume_boost), None)))
 
-    def _shard(self, arr):
-        if self.mesh is None:
-            return arr
-        return jax.device_put(arr, NamedSharding(self.mesh, P(DATA_AXIS)))
-
-    def _pad_rows(self, arr):
-        n_data = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
-        b = arr.shape[0]
-        target = -(-b // n_data) * n_data
-        if target != b:
-            arr = jnp.pad(arr, ((0, target - b),) + ((0, 0),) * (arr.ndim - 1))
-        return arr, b
-
     def encode(self, audio_batch) -> jax.Array:
         """[B, L_pad] -> [B, F, num_freqs, 2] (any B: padded internally to
         the mesh's data-axis multiple)."""
-        xb, b = self._pad_rows(jnp.asarray(audio_batch, dtype=self.dtype))
-        return self._encode(self._shard(xb))[:b]
+        xg, b = self._ingest(audio_batch)
+        return self._trim(self._encode(xg), b)
 
     def decode(self, spec_batch) -> jax.Array:
         """[B, F, num_freqs, 2] -> [B, out_len]."""
-        sb, b = self._pad_rows(jnp.asarray(spec_batch, dtype=self.dtype))
-        return self._decode(self._shard(sb))[:b]
+        sg, b = self._ingest(spec_batch)
+        return self._trim(self._decode(sg), b)
 
     def encode_buckets(self, utterances: Sequence[np.ndarray],
                        max_batch: int = 64):

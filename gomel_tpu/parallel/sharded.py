@@ -34,7 +34,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.stft import frame_signal, hann_window
@@ -99,7 +100,8 @@ def pad_signal_for_plan(x, plan: FrameShardPlan):
     Samples past ``(n_frames-1)*hop + frame_len`` are read by no frame — the
     reference's pad-to-multiple-minus-one scheme (mel/impl.go:437-446) leaves
     up to hop-1 such samples — so truncating to the buffer is lossless;
-    anything beyond that is an inconsistent plan.
+    anything beyond that is an inconsistent plan. Type-preserving: numpy in,
+    numpy out (multi-process callers must keep prep host-side).
     """
     L = x.shape[-1]
     target = plan.sharded_signal_len
@@ -109,15 +111,18 @@ def pad_signal_for_plan(x, plan: FrameShardPlan):
                 f"signal length {L} inconsistent with plan (buffer {target})")
         return x[..., :target]
     pad = [(0, 0)] * (x.ndim - 1) + [(0, target - L)]
-    return jnp.pad(x, pad)
+    xp = np if isinstance(x, np.ndarray) else jnp
+    return xp.pad(x, pad)
 
 
 def pad_frames_for_plan(spec, plan: FrameShardPlan, axis: int = 1):
-    """Zero-pad the frame axis of a spectrogram to n_frames_padded."""
+    """Zero-pad the frame axis of a spectrogram to n_frames_padded
+    (type-preserving, like pad_signal_for_plan)."""
     f = spec.shape[axis]
     pad = [(0, 0)] * spec.ndim
     pad[axis] = (0, plan.n_frames_padded - f)
-    return jnp.pad(spec, pad)
+    xp = np if isinstance(spec, np.ndarray) else jnp
+    return xp.pad(spec, pad)
 
 
 # ---------------------------------------------------------------------------
@@ -290,7 +295,8 @@ def sharded_istft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32):
 
 
 def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
-                           dtype=jnp.float32, momentum: float = 0.0):
+                           dtype=jnp.float32, momentum: float = 0.0,
+                           noise_init: bool = False):
     """Build a jitted sharded Griffin-Lim:
     (mag [B, F_pad, N/2+1], sig0 [B, F_pad*hop]) -> [B, F_pad*hop].
 
@@ -303,14 +309,30 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
     carry, so it adds NO collectives and no halo traffic; ~2-4x fewer
     iterations for equal convergence makes it the preferred way to run the
     long-form GL-64 class of workloads (RESULTS.md "GL momentum").
+
+    ``noise_init=True`` replaces the second input with a (replicated) PRNG
+    key: each shard draws its own ``[B_loc, chunk]`` uniform init inside the
+    shard_map body (``fold_in`` of both mesh axis indices), so no
+    full-signal ``[B, F_pad*hop]`` staging tensor is ever materialized
+    outside the mesh — at hour-scale signal lengths that tensor is GB-class
+    and is also the host-global-array pattern that breaks multi-process
+    meshes. Any uniform init is parity-valid: the reference seeds from
+    unseeded ``math/rand`` noise (mel/mel.go:81-83).
     """
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(DATA_AXIS, FRAME_AXIS, None), P(DATA_AXIS, FRAME_AXIS)),
+        in_specs=(P(DATA_AXIS, FRAME_AXIS, None),
+                  P() if noise_init else P(DATA_AXIS, FRAME_AXIS)),
         out_specs=P(DATA_AXIS, FRAME_AXIS))
     def _fn(mag_loc, sig0):
+        if noise_init:
+            shard_id = (jax.lax.axis_index(DATA_AXIS) * plan.n_shards
+                        + jax.lax.axis_index(FRAME_AXIS))
+            sig0 = jax.random.uniform(
+                jax.random.fold_in(sig0, shard_id),
+                (mag_loc.shape[0], plan.chunk), dtype=dtype)
         mask = _local_frame_mask(plan.frames_per_shard, plan.n_frames,
                                  FRAME_AXIS)
         mag = jnp.where(mask[None, :, None], mag_loc, 0.0)
@@ -443,21 +465,16 @@ def sharded_mel_decode_fn(mesh: Mesh, plan: FrameShardPlan,
     ``momentum`` > 0 = opt-in fast-GL, ops/griffinlim.py)."""
     inv = jnp.asarray(inv_weights, dtype=dtype)
     gl = sharded_griffin_lim_fn(mesh, plan, n_iter, dtype=dtype,
-                                momentum=momentum)
-    sig_sharding = NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS))
+                                momentum=momentum, noise_init=True)
 
     @jax.jit
-    def _prep(logmel):
+    def _fn(logmel, key):
+        # mel->linear is frame-local (no collectives); the GL init noise is
+        # drawn per shard INSIDE the shard_map (noise_init) so nothing
+        # signal-length is staged outside the mesh.
         lin = jax.vmap(lambda s: mel_to_linear(s, inv, tune_mul, tune_add)
                        )(logmel.astype(dtype))
-        return jax.vmap(griffin_lim_magnitudes)(lin)
-
-    def _fn(logmel, key):
-        mag = _prep(logmel)
-        B = logmel.shape[0]
-        sig0 = jax.random.uniform(
-            key, (B, plan.sharded_signal_len), dtype=dtype)
-        sig0 = jax.device_put(sig0, sig_sharding)
-        return gl(mag, sig0)
+        mag = jax.vmap(griffin_lim_magnitudes)(lin)
+        return gl(mag, key)
 
     return _fn

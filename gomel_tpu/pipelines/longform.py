@@ -16,19 +16,34 @@ Typical use::
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.config import MelConfig, PhaseConfig
 from ..core.filterbank import inverse_mel_weights, mel_weights
 from ..core.framing import num_frames, pad_length
 from ..parallel import sharded as sh
-from ..parallel.mesh import DATA_AXIS, FRAME_AXIS
+from ..parallel.mesh import DATA_AXIS, FRAME_AXIS, host_to_global
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _trim_2d(a, b, n):
+    """jitted [B, F/T] leading trims — legal on non-fully-addressable global
+    arrays, where eager slicing is forbidden."""
+    return a[:b, :n]
 
 
 class _LongFormBase:
+    """Shared plumbing. Multi-process model: REPLICATED host input — the
+    frame axis cuts through every row, so each process passes the identical
+    full batch (e.g. each read the same file) and contributes the shards its
+    devices own (mesh.host_to_global). Results are global arrays; on a pod,
+    read them per-shard (``.addressable_shards``) or via collectives."""
+
     def __init__(self, mesh: Mesh, window: int, resolut: int, dtype):
         self.mesh = mesh
         self.n_frame_shards = mesh.shape[FRAME_AXIS]
@@ -36,6 +51,7 @@ class _LongFormBase:
         self._frame_len = resolut
         self.dtype = dtype
         self._fn_cache: dict = {}
+        self._multiproc = jax.process_count() > 1
 
     def _plan(self, n_samples: int) -> sh.FrameShardPlan:
         padded = pad_length(n_samples, self._hop)
@@ -52,6 +68,13 @@ class _LongFormBase:
             self._fn_cache[key] = builder()
         return self._fn_cache[key]
 
+    def _asarray(self, x):
+        """Host numpy on multi-process meshes (prep must not stage on the
+        local default device), jnp otherwise."""
+        if self._multiproc:
+            return np.asarray(x, dtype=self.dtype)
+        return jnp.asarray(x, dtype=self.dtype)
+
     def _pad_batch(self, x):
         """Pad the batch dim to a multiple of the data-axis size (zero rows
         are sliced off by the caller via _true_b)."""
@@ -59,15 +82,49 @@ class _LongFormBase:
         b = x.shape[0]
         target = -(-b // n_data) * n_data
         if target != b:
-            x = jnp.pad(x, ((0, target - b),) + ((0, 0),) * (x.ndim - 1))
+            pad = ((0, target - b),) + ((0, 0),) * (x.ndim - 1)
+            x = np.pad(x, pad) if isinstance(x, np.ndarray) else jnp.pad(x, pad)
         return x, b
 
     def _prep_signal(self, x, plan: sh.FrameShardPlan):
-        x = jnp.asarray(x, dtype=self.dtype)
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            raise ValueError(
+                "encode expects a replicated host batch on multi-process "
+                "meshes (every process passes the identical full signal)")
+        x = self._asarray(x)
         if x.ndim == 1:
             x = x[None, :]
         x, b = self._pad_batch(x)
-        return sh.pad_signal_for_plan(x, plan), b
+        return self._put(sh.pad_signal_for_plan(x, plan),
+                         P(DATA_AXIS, FRAME_AXIS)), b
+
+    def _put(self, arr, spec: P):
+        """Assemble the global sharded input (device_put on one process)."""
+        return host_to_global(arr, self.mesh, spec)
+
+    def _prep_frames(self, spec, plan: sh.FrameShardPlan):
+        """Pad a [B, F, ...] spectrogram to (batch multiple, F_pad) and make
+        it global. Accepts either a host array (replicated on every process)
+        or a global jax.Array (e.g. the result of this object's encode on a
+        pod) — the latter is padded under jit, never pulled to host."""
+        if isinstance(spec, jax.Array) and not spec.is_fully_addressable:
+            b = spec.shape[0]
+            n_data = self.mesh.shape[DATA_AXIS]
+            db = -(-b // n_data) * n_data - b
+            df = plan.n_frames_padded - spec.shape[1]
+            padfn = self._get(("padglobal", db, df, spec.ndim), lambda: (
+                jax.jit(lambda a: jnp.pad(
+                    a.astype(self.dtype),
+                    ((0, db), (0, df)) + ((0, 0),) * (a.ndim - 2)))))
+            return padfn(spec), b
+        spec = self._asarray(spec)
+        spec_p, b = self._pad_batch(sh.pad_frames_for_plan(spec, plan))
+        return self._put(spec_p, P(DATA_AXIS, FRAME_AXIS, None, None)), b
+
+    def _trim(self, result, b: int, n: int):
+        if self._multiproc:
+            return _trim_2d(result, b, n)
+        return result[:b, :n]
 
 
 class LongFormPhase(_LongFormBase):
@@ -89,20 +146,18 @@ class LongFormPhase(_LongFormBase):
             sh.sharded_phase_encode_fn(self.mesh, plan,
                                        self.config.num_freqs, self.dtype)))
         xp, b = self._prep_signal(x, plan)
-        return fn(xp)[:b, : plan.n_frames]
+        return self._trim(fn(xp), b, plan.n_frames)
 
     def decode(self, spec) -> jax.Array:
         """[B, F, num_freqs, 2] -> [B, out_len]."""
-        spec = jnp.asarray(spec, dtype=self.dtype)
         plan = self._plan_for_frames(spec.shape[1])
         fn = self._get(("dec", plan.n_frames_padded, plan.n_frames,
                         float(self.config.volume_boost)), lambda: (
             sh.sharded_phase_decode_fn(self.mesh, plan,
                                        float(self.config.volume_boost),
                                        self.dtype)))
-        spec_p, b = self._pad_batch(sh.pad_frames_for_plan(spec, plan))
-        out = fn(spec_p)
-        return out[:b, : plan.out_len]
+        spec_p, b = self._prep_frames(spec, plan)
+        return self._trim(fn(spec_p), b, plan.out_len)
 
 
 class LongFormMel(_LongFormBase):
@@ -128,7 +183,7 @@ class LongFormMel(_LongFormBase):
             sh.sharded_mel_encode_fn(self.mesh, plan, self.config.num_mels,
                                      self._fwd, self.dtype)))
         xp, b = self._prep_signal(x, plan)
-        return fn(xp)[:b, : plan.n_frames]
+        return self._trim(fn(xp), b, plan.n_frames)
 
     def decode(self, logmel, seed: int = 0,
                momentum: float = 0.0) -> jax.Array:
@@ -138,7 +193,6 @@ class LongFormMel(_LongFormBase):
         iterations for equal convergence at no per-iteration cost — the
         preferred setting for the long-form GL-64 class of workloads.
         """
-        logmel = jnp.asarray(logmel, dtype=self.dtype)
         plan = self._plan_for_frames(logmel.shape[1])
         c = self.config
         fn = self._get(("dec", plan.n_frames_padded, plan.n_frames,
@@ -147,6 +201,7 @@ class LongFormMel(_LongFormBase):
                                      c.griffin_lim_iterations,
                                      c.tune_mul, c.tune_add, self.dtype,
                                      momentum=momentum)))
-        logmel_p, b = self._pad_batch(sh.pad_frames_for_plan(logmel, plan))
-        out = fn(logmel_p, jax.random.PRNGKey(seed))
-        return out[:b, : plan.out_len]
+        logmel_p, b = self._prep_frames(logmel, plan)
+        # key as a host value: every process passes the same seed (SPMD)
+        key = np.asarray(jax.random.PRNGKey(seed))
+        return self._trim(fn(logmel_p, key), b, plan.out_len)

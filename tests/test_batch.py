@@ -95,3 +95,48 @@ def test_encode_buckets_end_to_end():
             got = np.asarray(logmel[row])[: want.shape[0]]
             np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
     assert seen == {0, 1, 2}
+
+
+def test_input_mode_validation():
+    import pytest
+    with pytest.raises(ValueError, match="input_mode"):
+        BatchedMel(MelConfig(num_mels=16, **CFG), input_mode="bogus")
+    with pytest.raises(ValueError, match="requires a mesh"):
+        BatchedMel(MelConfig(num_mels=16, **CFG), input_mode="process_local")
+
+
+def test_process_local_single_process_equals_replicated():
+    # on one process, process_local reduces to the plain device_put path
+    mesh = make_mesh(data=8, frame=1)
+    cfg = MelConfig(num_mels=24, **CFG)
+    L = pad_length(3000, cfg.window)
+    xb = np.random.default_rng(3).standard_normal((8, L)).astype(np.float32)
+    a = np.asarray(BatchedMel(cfg, mesh=mesh).encode(xb))
+    b = np.asarray(BatchedMel(cfg, mesh=mesh,
+                              input_mode="process_local").encode(xb))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_local_rows_roundtrip_single_process():
+    from gomel_tpu.parallel.batch import local_rows
+    mesh = make_mesh(data=4, frame=2)
+    cfg = MelConfig(num_mels=24, **CFG)
+    bm = BatchedMel(cfg, mesh=mesh)
+    L = pad_length(3000, cfg.window)
+    xb = np.random.default_rng(4).standard_normal((4, L)).astype(np.float32)
+    enc = bm.encode(xb)
+    rows = local_rows(enc, 3)
+    np.testing.assert_array_equal(rows, np.asarray(enc)[:3])
+
+
+def test_decode_accepts_global_encode_result():
+    # decode fed the (sharded) result of encode directly — the pod-side flow
+    mesh = make_mesh(data=8, frame=1)
+    cfg = MelConfig(num_mels=24, griffin_lim_iterations=2, **CFG)
+    bm = BatchedMel(cfg, mesh=mesh)
+    L = pad_length(3000, cfg.window)
+    xb = np.random.default_rng(5).standard_normal((8, L)).astype(np.float32)
+    enc = bm.encode(xb)
+    out = np.asarray(bm.decode(enc, seed=0))
+    want = np.asarray(bm.decode(np.asarray(enc), seed=0))
+    np.testing.assert_allclose(out, want, atol=1e-6, rtol=1e-6)

@@ -99,3 +99,18 @@ def test_mel_tensor_hooks(audio_dir):
     t1 = m.to_tensor_wav(wavs[0])
     t2 = m.to_tensor_flac(flacs[0])
     assert t1.shape[1:] == (16, 2) and t2.shape[1:] == (16, 2)
+
+
+def test_shard_files_for_process():
+    from gomel_tpu.io.dataset import shard_files_for_process
+    files = [f"f{i}" for i in range(10)]
+    # explicit topology: strided split, disjoint cover, near-equal counts
+    shards = [shard_files_for_process(files, p, 3) for p in range(3)]
+    assert sorted(sum(shards, [])) == sorted(files)
+    assert [len(s) for s in shards] == [4, 3, 3]
+    assert shards[1] == ["f1", "f4", "f7"]
+    # defaults from the live (single-process) runtime: identity
+    assert shard_files_for_process(files) == files
+    import pytest
+    with pytest.raises(ValueError):
+        shard_files_for_process(files, 3, 3)

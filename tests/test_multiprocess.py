@@ -28,3 +28,10 @@ def test_two_process_bringup_and_parity():
     assert out.count("MULTIHOST-SMOKE OK") == 2, out
     assert "frame-axis iSTFT across 2 processes" in out, out
     assert "data-axis Griffin-Lim across 2 processes" in out, out
+    # high-level user-facing APIs (not the sharded_* builders) across the
+    # process boundary — VERDICT r2 item 1
+    for marker in ("LongFormPhase.encode across 2 processes",
+                   "LongFormPhase.decode across 2 processes",
+                   "LongFormMel.encode across 2 processes",
+                   "BatchedMel.encode(process_local)"):
+        assert out.count(marker) == 2, (marker, out)
