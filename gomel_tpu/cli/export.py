@@ -78,24 +78,35 @@ def export_tool(argv: Optional[Sequence[str]] = None) -> int:
     batch = a.batch if a.batch > 0 else None
     platforms = tuple(s.strip() for s in a.platforms.split(",") if s.strip())
 
+    extra = {}
     if a.kind == "mel-enc":
+        cfg = _mel_cfg(a)
         exp = serving.export_mel_encoder(
-            _mel_cfg(a), seconds=a.seconds, sample_rate=a.sample_rate,
+            cfg, seconds=a.seconds, sample_rate=a.sample_rate,
             batch=batch, platforms=platforms)
+        extra = {"seconds": a.seconds, "sample_rate": a.sample_rate}
     elif a.kind == "mel-dec":
+        cfg = _mel_cfg(a)
         exp = serving.export_mel_decoder(
-            _mel_cfg(a), n_frames=a.n_frames, batch=batch,
+            cfg, n_frames=a.n_frames, batch=batch,
             momentum=a.momentum, platforms=platforms)
+        extra = {"n_frames": a.n_frames, "momentum": a.momentum}
     elif a.kind == "phase-enc":
+        cfg = _phase_cfg(a)
         exp = serving.export_phase_encoder(
-            _phase_cfg(a), seconds=a.seconds, sample_rate=a.sample_rate,
+            cfg, seconds=a.seconds, sample_rate=a.sample_rate,
             batch=batch, platforms=platforms)
+        extra = {"seconds": a.seconds, "sample_rate": a.sample_rate}
     else:
+        cfg = _phase_cfg(a)
         exp = serving.export_phase_decoder(
-            _phase_cfg(a), n_frames=a.n_frames, batch=batch,
+            cfg, n_frames=a.n_frames, batch=batch,
             platforms=platforms)
+        extra = {"n_frames": a.n_frames}
 
-    serving.save_exported(exp, a.output)
+    serving.save_exported(
+        exp, a.output,
+        meta=serving.artifact_meta(exp, cfg, kind=a.kind, **extra))
     shapes = ", ".join(str(tuple(av.shape)) for av in exp.in_avals)
     print(f"wrote {a.output}: in {shapes}, platforms {exp.platforms}",
           file=sys.stderr)

@@ -44,6 +44,11 @@ Loaded artifacts compose: ``exp.call`` can be used INSIDE a larger
 upstream (no batching rule for ``call_exported``) — export with a symbolic
 batch dimension instead, which serves any batch size.
 
+The SHARDED long-form programs export too (``export_longform_*``): the
+artifact records the mesh size and in/out shardings; run it with
+``call_longform`` on any mesh with the same device count — including
+multi-process pods (inputs go through mesh.host_to_global).
+
 Reference scope note: the reference (Go CLI + Python port) has no AOT story
 — every process pays full JIT. This module is framework-native added value.
 """
@@ -189,23 +194,208 @@ def export_phase_decoder(config: PhaseConfig, *, n_frames: int, batch=None,
     return jax_export.export(fn, platforms=list(platforms))(spec)
 
 
+# -- sharded long-form exports ------------------------------------------------
+#
+# The scale-out product (pipelines/longform.py: shard_map halo-exchange
+# programs over a ('data','frame') mesh) EXPORTS: jax.export records the
+# mesh size (``Exported.nr_devices``) and the input/output shardings, and a
+# deserialized artifact runs on any mesh with the same device count — call
+# it under jit with inputs sharded like the originals (``call_longform``
+# below does this). Verified on the 8-virtual-device CPU mesh
+# (tests/test_serving.py::test_longform_*). Build hosts without the target
+# chip count can trace against virtual CPU devices
+# (``--xla_force_host_platform_device_count``), exactly like the test suite.
+
+
+def _longform_batch(batch, mesh) -> int:
+    from .parallel.mesh import DATA_AXIS
+    n_data = mesh.shape[DATA_AXIS]
+    b = n_data if batch is None else int(batch)
+    if b % n_data != 0:
+        raise ValueError(f"batch {b} must be a multiple of the mesh's "
+                         f"data axis ({n_data}); shard_map needs even rows")
+    return b
+
+
+def export_longform_mel_encoder(config: MelConfig, mesh, *, n_frames: int,
+                                batch=None, dtype=jnp.float32,
+                                platforms=DEFAULT_PLATFORMS
+                                ) -> jax_export.Exported:
+    """Frame-sharded [B, F_pad*hop] audio -> [B, F_pad, num_mels, 2] log-mel
+    over ``mesh`` (parallel/sharded.sharded_mel_encode_fn). ``n_frames`` is
+    the REAL frame count; input length and padded frame count come from the
+    sharding plan (``longform_plan``)."""
+    from .parallel import sharded as sh
+    from .parallel.mesh import FRAME_AXIS
+    c = config
+    plan = sh.plan_frame_sharding(n_frames, c.resolut, c.window,
+                                  mesh.shape[FRAME_AXIS])
+    fwd = mel_weights(c.n_bins, c.num_mels, c.mel_fmin, c.mel_fmax)
+    fn = sh.sharded_mel_encode_fn(mesh, plan, c.num_mels, fwd, dtype)
+    b = _longform_batch(batch, mesh)
+    spec = jax.ShapeDtypeStruct((b, plan.sharded_signal_len), dtype)
+    return jax_export.export(fn, platforms=list(platforms))(spec)
+
+
+def export_longform_mel_decoder(config: MelConfig, mesh, *, n_frames: int,
+                                batch=None, dtype=jnp.float32,
+                                momentum: float = 0.0,
+                                platforms=DEFAULT_PLATFORMS
+                                ) -> jax_export.Exported:
+    """Frame-sharded Griffin-Lim decode: ([B, F_pad, num_mels, 2] log-mel,
+    [2] uint32 key) -> [B, F_pad*hop] audio. Init noise is drawn per shard
+    inside the artifact (fold_in of the mesh axis indices)."""
+    from .parallel import sharded as sh
+    from .parallel.mesh import FRAME_AXIS
+    c = config
+    plan = sh.plan_frame_sharding(n_frames, c.resolut, c.window,
+                                  mesh.shape[FRAME_AXIS])
+    inv = inverse_mel_weights(c.n_bins, c.num_mels, c.mel_fmin, c.mel_fmax)
+    fn = sh.sharded_mel_decode_fn(mesh, plan, inv, c.griffin_lim_iterations,
+                                  c.tune_mul, c.tune_add, dtype,
+                                  momentum=momentum)
+    b = _longform_batch(batch, mesh)
+    spec = jax.ShapeDtypeStruct((b, plan.n_frames_padded, c.num_mels, 2),
+                                dtype)
+    kspec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    return jax_export.export(fn, platforms=list(platforms))(spec, kspec)
+
+
+def export_longform_phase_encoder(config: PhaseConfig, mesh, *,
+                                  n_frames: int, batch=None,
+                                  dtype=jnp.float32,
+                                  platforms=DEFAULT_PLATFORMS
+                                  ) -> jax_export.Exported:
+    """Frame-sharded [B, F_pad*hop] audio -> [B, F_pad, num_freqs, 2]."""
+    from .parallel import sharded as sh
+    from .parallel.mesh import FRAME_AXIS
+    c = config
+    plan = sh.plan_frame_sharding(n_frames, c.resolut, c.window,
+                                  mesh.shape[FRAME_AXIS])
+    fn = sh.sharded_phase_encode_fn(mesh, plan, c.num_freqs, dtype)
+    b = _longform_batch(batch, mesh)
+    spec = jax.ShapeDtypeStruct((b, plan.sharded_signal_len), dtype)
+    return jax_export.export(fn, platforms=list(platforms))(spec)
+
+
+def export_longform_phase_decoder(config: PhaseConfig, mesh, *,
+                                  n_frames: int, batch=None,
+                                  dtype=jnp.float32,
+                                  platforms=DEFAULT_PLATFORMS
+                                  ) -> jax_export.Exported:
+    """Frame-sharded direct iSTFT: [B, F_pad, num_freqs, 2] ->
+    [B, F_pad*hop] audio (global window-sum pmax inside the artifact)."""
+    from .parallel import sharded as sh
+    from .parallel.mesh import FRAME_AXIS
+    c = config
+    plan = sh.plan_frame_sharding(n_frames, c.resolut, c.window,
+                                  mesh.shape[FRAME_AXIS])
+    fn = sh.sharded_phase_decode_fn(mesh, plan, float(c.volume_boost), dtype)
+    b = _longform_batch(batch, mesh)
+    spec = jax.ShapeDtypeStruct((b, plan.n_frames_padded, c.num_freqs, 2),
+                                dtype)
+    return jax_export.export(fn, platforms=list(platforms))(spec)
+
+
+def longform_plan(config, mesh, n_frames: int):
+    """The FrameShardPlan an exported longform artifact was built with —
+    callers use it to pad inputs (pad_signal_for_plan / pad_frames_for_plan)
+    and trim outputs (plan.n_frames / plan.out_len)."""
+    from .parallel import sharded as sh
+    from .parallel.mesh import FRAME_AXIS
+    return sh.plan_frame_sharding(n_frames, config.resolut, config.window,
+                                  mesh.shape[FRAME_AXIS])
+
+
+def call_longform(exp: jax_export.Exported, mesh, *args) -> jax.Array:
+    """Run a longform artifact on ``mesh``: shard each host input the way
+    the artifact expects (rank-2 floats = [B, signal] over (data, frame);
+    rank>=3 = [B, frames, ...]; rank-1 = replicated key) and invoke
+    ``exp.call`` under jit. Works on multi-process meshes — inputs go
+    through mesh.host_to_global."""
+    from jax.sharding import PartitionSpec as P
+    from .parallel.mesh import DATA_AXIS, FRAME_AXIS, host_to_global
+    if len(mesh.devices.flatten()) != exp.nr_devices:
+        raise ValueError(f"artifact was exported for {exp.nr_devices} "
+                         f"devices; mesh has {mesh.devices.size}")
+    sharded = []
+    for aval, a in zip(exp.in_avals, args):
+        if aval.ndim >= 3:
+            spec = P(DATA_AXIS, FRAME_AXIS, *([None] * (aval.ndim - 2)))
+        elif aval.ndim == 2:
+            spec = P(DATA_AXIS, FRAME_AXIS)
+        else:
+            spec = P()
+        sharded.append(host_to_global(np.asarray(a), mesh, spec))
+    return jax.jit(exp.call)(*sharded)
+
+
 # -- persistence -------------------------------------------------------------
 
-_MAGIC = b"GMTPUEXP1\n"
+_MAGIC_V1 = b"GMTPUEXP1\n"
+_MAGIC = b"GMTPUEXP2\n"
 
 
-def save_exported(exp: jax_export.Exported, path: str) -> None:
-    """Serialize an export artifact to ``path`` (magic + StableHLO blob)."""
+def artifact_meta(exp: jax_export.Exported, config=None, kind: str = "",
+                  **extra) -> dict:
+    """Self-description header for :func:`save_exported`: everything a
+    serving fleet needs to route inputs without parsing filenames."""
+    import dataclasses
+    meta = {
+        "kind": kind,
+        "platforms": list(exp.platforms),
+        "nr_devices": exp.nr_devices,
+        "in_shapes": [[str(d) for d in av.shape] for av in exp.in_avals],
+        "in_dtypes": [str(av.dtype) for av in exp.in_avals],
+        "out_shapes": [[str(d) for d in av.shape] for av in exp.out_avals],
+    }
+    if config is not None:
+        meta["config"] = {k: v for k, v in
+                          dataclasses.asdict(config).items()}
+        meta["config_class"] = type(config).__name__
+    meta.update(extra)
+    return meta
+
+
+def save_exported(exp: jax_export.Exported, path: str,
+                  meta: dict | None = None) -> None:
+    """Serialize an export artifact: magic + JSON self-description header
+    (length-prefixed) + StableHLO blob. Pass ``meta=artifact_meta(exp,
+    config, kind=...)`` so the artifact records its own config (n_frames,
+    mels, GL iterations, momentum, ...) instead of relying on filename
+    conventions."""
+    import json
+    import struct
+    header = json.dumps(meta if meta is not None else {}).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
         f.write(exp.serialize())
+
+
+def _split_artifact(path: str) -> tuple[dict, bytes]:
+    import json
+    import struct
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob.startswith(_MAGIC):
+        off = len(_MAGIC)
+        (hlen,) = struct.unpack("<I", blob[off:off + 4])
+        header = json.loads(blob[off + 4:off + 4 + hlen] or b"{}")
+        return header, blob[off + 4 + hlen:]
+    if blob.startswith(_MAGIC_V1):  # round-2 artifacts: no header
+        return {}, blob[len(_MAGIC_V1):]
+    raise ValueError(f"{path} is not a gomel_tpu serving artifact")
 
 
 def load_exported(path: str) -> jax_export.Exported:
     """Load an artifact written by :func:`save_exported`; ``.call(*args)``
     runs it (compiling for the local platform on first call)."""
-    with open(path, "rb") as f:
-        blob = f.read()
-    if not blob.startswith(_MAGIC):
-        raise ValueError(f"{path} is not a gomel_tpu serving artifact")
-    return jax_export.deserialize(blob[len(_MAGIC):])
+    return jax_export.deserialize(_split_artifact(path)[1])
+
+
+def read_artifact_meta(path: str) -> dict:
+    """The JSON self-description header (empty dict for round-2 v1
+    artifacts) — readable without deserializing the StableHLO blob."""
+    return _split_artifact(path)[0]

@@ -152,3 +152,126 @@ def test_pinned_batch_rejects_other_batch_size():
     n = exp.in_avals[0].shape[1]
     with pytest.raises(Exception):
         exp.call(jnp.asarray(_audio(3, n)))
+
+
+# -- sharded long-form exports (VERDICT r2 item 5) ---------------------------
+
+def _longform_mesh():
+    from gomel_tpu.parallel.mesh import make_mesh
+    return make_mesh(data=2, frame=4)
+
+
+def test_longform_mel_encoder_export_roundtrip(tmp_path):
+    from gomel_tpu.parallel import sharded as sh
+    mesh = _longform_mesh()
+    n_frames = 37
+    exp = serving.export_longform_mel_encoder(
+        CFG, mesh, n_frames=n_frames, batch=2, platforms=("cpu",))
+    assert exp.nr_devices == 8
+    p = str(tmp_path / "lf_enc.jaxexp")
+    serving.save_exported(exp, p, meta=serving.artifact_meta(
+        exp, CFG, kind="longform-mel-enc", n_frames=n_frames))
+    art = serving.load_exported(p)
+    plan = serving.longform_plan(CFG, mesh, n_frames)
+    x = _audio(2, plan.sharded_signal_len)
+    got = serving.call_longform(art, mesh, x)
+    # parity vs the live sharded program
+    from gomel_tpu.core.filterbank import mel_weights
+    w = mel_weights(CFG.n_bins, CFG.num_mels, CFG.mel_fmin, CFG.mel_fmax)
+    want = sh.sharded_mel_encode_fn(mesh, plan, CFG.num_mels, w)(
+        jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    meta = serving.read_artifact_meta(p)
+    assert meta["kind"] == "longform-mel-enc"
+    assert meta["nr_devices"] == 8
+    assert meta["config"]["num_mels"] == CFG.num_mels
+    assert meta["n_frames"] == n_frames
+
+
+def test_longform_mel_decoder_export_runs(tmp_path):
+    mesh = _longform_mesh()
+    exp = serving.export_longform_mel_decoder(
+        CFG, mesh, n_frames=25, batch=2, platforms=("cpu",))
+    p = str(tmp_path / "lf_dec.jaxexp")
+    serving.save_exported(exp, p)
+    art = serving.load_exported(p)
+    plan = serving.longform_plan(CFG, mesh, 25)
+    logmel = np.random.RandomState(1).randn(
+        2, plan.n_frames_padded, CFG.num_mels, 2).astype(np.float32)
+    key = np.asarray(jax.random.PRNGKey(0))
+    out = serving.call_longform(art, mesh, logmel, key)
+    o = np.asarray(out)
+    assert o.shape == (2, plan.sharded_signal_len)
+    assert np.isfinite(o).all()
+    # deterministic per key, like the live path
+    out2 = serving.call_longform(art, mesh, logmel, key)
+    np.testing.assert_array_equal(o, np.asarray(out2))
+
+
+def test_longform_phase_export_roundtrip_matches_live(tmp_path):
+    from gomel_tpu.parallel import sharded as sh
+    mesh = _longform_mesh()
+    n_frames = 33
+    enc = serving.export_longform_phase_encoder(
+        PCFG, mesh, n_frames=n_frames, batch=2, platforms=("cpu",))
+    dec = serving.export_longform_phase_decoder(
+        PCFG, mesh, n_frames=n_frames, batch=2, platforms=("cpu",))
+    plan = serving.longform_plan(PCFG, mesh, n_frames)
+    x = _audio(2, plan.sharded_signal_len, seed=3)
+    spec = serving.call_longform(enc, mesh, np.asarray(x))
+    wav = serving.call_longform(dec, mesh, np.asarray(spec))
+    want_spec = sh.sharded_phase_encode_fn(mesh, plan, PCFG.num_freqs)(
+        jnp.asarray(x))
+    want_wav = sh.sharded_phase_decode_fn(mesh, plan)(want_spec)
+    np.testing.assert_allclose(np.asarray(spec), np.asarray(want_spec),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wav), np.asarray(want_wav),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_longform_batch_must_match_data_axis():
+    mesh = _longform_mesh()
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        serving.export_longform_mel_encoder(CFG, mesh, n_frames=20, batch=3,
+                                            platforms=("cpu",))
+
+
+def test_call_longform_rejects_wrong_mesh_size():
+    from gomel_tpu.parallel.mesh import make_mesh
+    mesh = _longform_mesh()
+    exp = serving.export_longform_phase_encoder(PCFG, mesh, n_frames=20,
+                                                batch=2, platforms=("cpu",))
+    small = make_mesh(data=1, frame=4, devices=jax.devices()[:4])
+    plan = serving.longform_plan(PCFG, mesh, 20)
+    with pytest.raises(ValueError, match="exported for 8"):
+        serving.call_longform(exp, small,
+                              _audio(2, plan.sharded_signal_len))
+
+
+def test_v1_artifact_still_loads(tmp_path):
+    # round-2 artifacts (magic GMTPUEXP1, no JSON header) must keep loading
+    exp = serving.export_mel_encoder(CFG, seconds=0.05, sample_rate=8000,
+                                     batch=2, fft_backend="xla",
+                                     platforms=("cpu",))
+    p = str(tmp_path / "v1.jaxexp")
+    with open(p, "wb") as f:
+        f.write(b"GMTPUEXP1\n")
+        f.write(exp.serialize())
+    art = serving.load_exported(p)
+    n = art.in_avals[0].shape[1]
+    assert np.isfinite(np.asarray(art.call(jnp.asarray(_audio(2, n))))).all()
+    assert serving.read_artifact_meta(p) == {}
+
+
+def test_artifact_meta_via_cli(tmp_path):
+    from gomel_tpu.cli import tools
+    out = str(tmp_path / "enc.jaxexp")
+    rc = tools.main(["export", "mel-enc", out, "--seconds", "0.2",
+                     "--sample-rate", "48000", "--preset", "lib",
+                     "--platforms", "cpu", "--batch", "2"])
+    assert rc == 0
+    meta = serving.read_artifact_meta(out)
+    assert meta["kind"] == "mel-enc"
+    assert meta["config"]["num_mels"] == MelConfig().num_mels
+    assert meta["seconds"] == 0.2 and meta["sample_rate"] == 48000
