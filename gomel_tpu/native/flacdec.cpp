@@ -320,11 +320,20 @@ int flac_decode(const uint8_t* buf, long len, int layout,
 
     std::vector<int32_t> pcm;
     // reserve only when the declared size is plausible for the stream length
-    // (attacker-controlled STREAMINFO must not drive a throwing allocation)
+    // (attacker-controlled STREAMINFO must not drive a throwing allocation);
+    // the reserve itself sits in a try so an allocation failure surfaces as
+    // -6 instead of a bad_alloc escaping the extern "C" boundary, and is
+    // capped at 2^28 samples (1 GiB) — it is only a growth optimization,
+    // larger legitimate streams just reallocate as they decode.
     if (si.total_samples) {
         uint64_t want = si.total_samples * (uint64_t)si.channels;
-        if (want <= (uint64_t)len * 8 && want < (1ull << 31))
-            pcm.reserve((size_t)want);
+        if (want <= (uint64_t)len * 8 && want < (1ull << 28)) {
+            try {
+                pcm.reserve((size_t)want);
+            } catch (const std::bad_alloc&) {
+                return -6;
+            }
+        }
     }
     // Decompression-bomb bound: actual growth (not just the reserve) must
     // stay plausible. When STREAMINFO declares a length, allow it plus one
@@ -340,7 +349,9 @@ int flac_decode(const uint8_t* buf, long len, int layout,
         bomb_cap = (si.total_samples + 65536ull) * (uint64_t)(si.channels ? si.channels : 8);
     else
         bomb_cap = (uint64_t)len * 8192ull + (1ull << 20);
-    if (bomb_cap > (1ull << 33)) bomb_cap = 1ull << 33;  // 8 Gi samples hard cap
+    // 2^30-sample hard cap (~3 h of 48 kHz stereo): far above any real
+    // artifact, small enough that overcommit Linux OOM-kill is unreachable
+    if (bomb_cap > (1ull << 30)) bomb_cap = 1ull << 30;
 
     std::vector<std::vector<int64_t>> chans;
     int nch_out = 0;

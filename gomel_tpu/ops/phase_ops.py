@@ -108,7 +108,10 @@ def phase_decode(spec2: jax.Array, frame_len: int, hop: int,
     when != 0, phase/phase.go:146 — note the port uses > 0, phase.py:216).
     """
     if window is None:
-        window = hann_window(frame_len)  # host-side np: mm path folds it
+        # host-side np; istft_direct_planes converts it on device and applies
+        # it as a separate multiply (the weight-fold only exists on the
+        # Griffin-Lim interior path, ops/dft_mm.rfft_windowed)
+        window = hann_window(frame_len)
     re, im = grow_half_planes(spec2, frame_len // 2)
     sig = istft_direct_planes(re, im, hop, window, fft_backend)
     if volume_boost != 0.0:

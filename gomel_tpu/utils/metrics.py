@@ -127,7 +127,14 @@ def spectral_convergence(signal, mag_target, frame_len: int, hop: int,
     a = jnp.abs(jnp.fft.rfft(frames[:n_f] * window, axis=-1))
     mag = mag_target[:n_f]
     if scale_invariant:
-        c = jnp.vdot(a, mag) / jnp.vdot(mag, mag)
+        denom = jnp.vdot(mag, mag)
+        c = jnp.where(denom > 0,
+                      jnp.vdot(a, mag) / jnp.where(denom > 0, denom, 1.0),
+                      1.0)
+        # an all-zero or uncorrelated reconstruction drives c -> 0 and the
+        # |c|-normalized metric to inf/nan, poisoning downstream comparisons
+        # — fall back to the plain (c=1) distance there
+        c = jnp.where(jnp.abs(c) > 1e-12, c, jnp.asarray(1.0, c.dtype))
     else:
         c = jnp.asarray(1.0, a.dtype)
     return float(jnp.linalg.norm(a - c * mag)
