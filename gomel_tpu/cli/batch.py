@@ -29,6 +29,23 @@ from ..ops.resample import zero_stuff_upsample
 from ..parallel.batch import BatchedMel, BatchedPhase
 
 
+def _add_shard_flag(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--process-shard", nargs=2, type=int, default=None,
+                   metavar=("INDEX", "COUNT"),
+                   help="process only the INDEX-th of every COUNT files "
+                        "(strided split, io.dataset.shard_files_for_process)"
+                        " — run the same command on COUNT hosts/array jobs "
+                        "to split a directory across them")
+
+
+def _apply_shard(files: List[str], a) -> List[str]:
+    if a.process_shard is None:
+        return files
+    from ..io.dataset import shard_files_for_process
+    idx, cnt = a.process_shard
+    return shard_files_for_process(files, idx, cnt)
+
+
 def _collect(paths: Sequence[str]) -> List[str]:
     files: List[str] = []
     for p in paths:
@@ -68,6 +85,7 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="batch-tomel")
     p.add_argument("inputs", nargs="+", help="audio files or directories")
     p.add_argument("--out-dir", default=None)
+    _add_shard_flag(p)
     p.add_argument("--max-batch", type=int, default=4,
                    help="rows per device call; small batches keep the "
                         "frame intermediates VMEM-resident (RESULTS.md "
@@ -82,7 +100,7 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
 
     cfg = MelConfig(num_mels=a.num_mels, mel_fmax=a.fmax, y_reverse=True,
                     window=a.window, resolut=a.resolut)
-    files = _collect(a.inputs)
+    files = _apply_shard(_collect(a.inputs), a)
     if not files:
         print("no input files", file=sys.stderr)
         return 1
@@ -113,6 +131,7 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="batch-tophase")
     p.add_argument("inputs", nargs="+", help="audio files or directories")
     p.add_argument("--out-dir", default=None)
+    _add_shard_flag(p)
     p.add_argument("--max-batch", type=int, default=4,
                    help="rows per device call; small batches keep the "
                         "frame intermediates VMEM-resident (RESULTS.md "
@@ -125,7 +144,7 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--ihs", action="store_true")
     a = p.parse_args(argv)
 
-    files = _collect(a.inputs)
+    files = _apply_shard(_collect(a.inputs), a)
     if not files:
         print("no input files", file=sys.stderr)
         return 1
@@ -206,6 +225,7 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="batch-fromphase")
     p.add_argument("inputs", nargs="+", help="phase PNG files or directories")
     p.add_argument("--out-dir", default=None)
+    _add_shard_flag(p)
     p.add_argument("--max-batch", type=int, default=4,
                    help="rows per device call; small batches keep the "
                         "frame intermediates VMEM-resident (RESULTS.md "
@@ -222,7 +242,7 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
                         "'py' 12-byte port layout; 'auto' detects")
     a = p.parse_args(argv)
 
-    files = _collect_pngs(a.inputs)
+    files = _apply_shard(_collect_pngs(a.inputs), a)
     if not files:
         print("no input files", file=sys.stderr)
         return 1
@@ -269,6 +289,7 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="batch-towav")
     p.add_argument("inputs", nargs="+", help="mel PNG files or directories")
     p.add_argument("--out-dir", default=None)
+    _add_shard_flag(p)
     p.add_argument("--max-batch", type=int, default=4)
     p.add_argument("--sample-rate", type=int, default=44100)
     p.add_argument("--seed", type=int, default=0)
@@ -285,7 +306,7 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--volume-boost", type=float, default=0.0)
     a = p.parse_args(argv)
 
-    files = _collect_pngs(a.inputs)
+    files = _apply_shard(_collect_pngs(a.inputs), a)
     if not files:
         print("no input files", file=sys.stderr)
         return 1

@@ -43,6 +43,18 @@ def _phase_cfg(a):
     return PhaseConfig.for_sample_rate(a.sample_rate)
 
 
+def info_tool(argv: Optional[Sequence[str]] = None) -> int:
+    """``gomel-tpu info <artifact>`` — print an artifact's JSON
+    self-description header (no StableHLO deserialization, no device)."""
+    import json
+    p = argparse.ArgumentParser(prog="gomel-tpu info")
+    p.add_argument("artifact", help=".jaxexp path")
+    a = p.parse_args(argv)
+    from .. import serving
+    print(json.dumps(serving.read_artifact_meta(a.artifact), indent=2))
+    return 0
+
+
 def export_tool(argv: Optional[Sequence[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="gomel-tpu export")
     sub = parser.add_subparsers(dest="kind", required=True)

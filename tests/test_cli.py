@@ -168,3 +168,40 @@ def test_batch_decode_roundtrip(tmp_path):
     a, _ = load_wav(str(wavm / "u0.wav.png.wav"))
     b, _ = load_wav(str(wavf / "u0.wav.png.wav"))
     assert a.shape == b.shape and not np.array_equal(a, b)
+
+
+def test_info_tool_prints_artifact_meta(tmp_path, capsys):
+    import json
+    from gomel_tpu import serving, MelConfig
+    cfg = MelConfig(num_mels=16, resolut=256, window=64)
+    exp = serving.export_mel_encoder(cfg, seconds=0.05, sample_rate=8000,
+                                     batch=2, fft_backend="xla",
+                                     platforms=("cpu",))
+    p = str(tmp_path / "a.jaxexp")
+    serving.save_exported(exp, p, meta=serving.artifact_meta(
+        exp, cfg, kind="mel-enc"))
+    assert tools.main(["info", p]) == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["kind"] == "mel-enc" and meta["config"]["num_mels"] == 16
+
+
+def test_batch_process_shard_splits_work(tmp_path):
+    from gomel_tpu.cli.batch import batch_tomel
+    from gomel_tpu.io.audio import save_wav as _sw
+    import numpy as _np
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(5):
+        t = _np.arange(4000) / 8000.0
+        _sw(str(d / f"u{i}.wav"), 0.3 * _np.sin(2 * _np.pi * (200 + i) * t),
+            8000)
+    out0, out1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    args = [str(d), "--num-mels", "16", "--window", "64", "--resolut", "256"]
+    assert batch_tomel(args + ["--out-dir", out0,
+                               "--process-shard", "0", "2"]) == 0
+    assert batch_tomel(args + ["--out-dir", out1,
+                               "--process-shard", "1", "2"]) == 0
+    got0 = sorted(os.listdir(out0))
+    got1 = sorted(os.listdir(out1))
+    assert got0 == ["u0.wav.png", "u2.wav.png", "u4.wav.png"]
+    assert got1 == ["u1.wav.png", "u3.wav.png"]

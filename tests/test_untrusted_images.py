@@ -180,3 +180,17 @@ def test_fromphase_cli_metadata_layout_override(tmp_path):
         from gomel_tpu.io.audio import load_wav
         rec, _ = load_wav(wav)
         assert np.allclose(rec, 0.0)
+
+
+def test_read_png_garbage_fuzz(tmp_path):
+    """Random garbage (with and without a valid signature) must always fail
+    with ValueError — never struct.error, zlib.error, or a crash."""
+    rng = np.random.default_rng(42)
+    for i in range(40):
+        blob = rng.integers(0, 256, rng.integers(8, 400), dtype=np.uint8
+                            ).tobytes()
+        if i % 2 == 0:
+            blob = _SIGNATURE + blob
+        p = _write(tmp_path / f"fuzz{i}.png", blob)
+        with pytest.raises(ValueError):
+            read_png(p)
