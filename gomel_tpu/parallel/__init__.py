@@ -31,6 +31,7 @@ from .sharded import (
     pad_frames_for_plan,
     pad_signal_for_plan,
     plan_frame_sharding,
+    sharded_gl_noise_fn,
     sharded_griffin_lim_fn,
     sharded_istft_fn,
     sharded_mel_decode_fn,
@@ -49,6 +50,7 @@ __all__ = [
     "pad_batch_to_multiple",
     "FrameShardPlan", "plan_frame_sharding", "pad_signal_for_plan",
     "pad_frames_for_plan", "sharded_stft_fn", "sharded_istft_fn",
-    "sharded_griffin_lim_fn", "sharded_mel_encode_fn", "sharded_mel_decode_fn",
+    "sharded_gl_noise_fn", "sharded_griffin_lim_fn",
+    "sharded_mel_encode_fn", "sharded_mel_decode_fn",
     "sharded_phase_encode_fn", "sharded_phase_decode_fn",
 ]

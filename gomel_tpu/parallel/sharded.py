@@ -294,9 +294,33 @@ def sharded_istft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32):
     return jax.jit(_fn)
 
 
+def sharded_gl_noise_fn(mesh: Mesh, plan: FrameShardPlan, batch: int,
+                        dtype=jnp.float32):
+    """key -> [batch, F_pad*hop] per-shard uniform Griffin-Lim init, drawn
+    inside shard_map with the SAME fold_in scheme as
+    ``sharded_griffin_lim_fn(noise_init=True)`` — so a segmented/resumable
+    run starting from this noise reproduces the one-call run bit-for-bit."""
+    n_data = mesh.shape[DATA_AXIS]
+    if batch % n_data != 0:
+        raise ValueError(f"batch {batch} must be a multiple of the data "
+                         f"axis ({n_data})")
+    b_loc = batch // n_data
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P(),),
+                       out_specs=P(DATA_AXIS, FRAME_AXIS))
+    def _fn(key):
+        shard_id = (jax.lax.axis_index(DATA_AXIS) * plan.n_shards
+                    + jax.lax.axis_index(FRAME_AXIS))
+        return jax.random.uniform(jax.random.fold_in(key, shard_id),
+                                  (b_loc, plan.chunk), dtype=dtype)
+
+    return jax.jit(_fn)
+
+
 def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
                            dtype=jnp.float32, momentum: float = 0.0,
-                           noise_init: bool = False):
+                           noise_init: bool = False,
+                           final_iteration: bool = True):
     """Build a jitted sharded Griffin-Lim:
     (mag [B, F_pad, N/2+1], sig0 [B, F_pad*hop]) -> [B, F_pad*hop].
 
@@ -318,6 +342,13 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
     and is also the host-global-array pattern that breaks multi-process
     meshes. Any uniform init is parity-valid: the reference seeds from
     unseeded ``math/rand`` noise (mel/mel.go:81-83).
+
+    ``final_iteration=False`` runs ALL ``n_iter`` iterations on the interior
+    (reduced-precision) path and skips the exact-XLA final inverse — the
+    building block for segmented/resumable runs
+    (pipelines.longform.LongFormMel.decode_resumable): only the run's very
+    last segment sets it True, so the concatenation of segments executes the
+    identical iteration sequence as one n_total call.
     """
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
 
@@ -365,18 +396,18 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
             return _local_overlap_add(rec_w, plan)
 
         mom = float(momentum)
+        n_interior = n_iter if not final_iteration else max(n_iter - 1, 0)
         if mom != 0.0:
             def accel(_, carry):
                 c, t_prev = carry
                 t = body(c, False)
                 return t + mom * (t - t_prev), t
 
-            sig, _ = jax.lax.fori_loop(0, max(n_iter - 1, 0), accel,
-                                       (sig0, sig0))
+            sig, _ = jax.lax.fori_loop(0, n_interior, accel, (sig0, sig0))
         else:
-            sig = jax.lax.fori_loop(0, max(n_iter - 1, 0),
+            sig = jax.lax.fori_loop(0, n_interior,
                                     lambda _, s: body(s, False), sig0)
-        if n_iter >= 1:
+        if final_iteration and n_iter >= 1:
             sig = body(sig, True)
         return sig
 

@@ -2,8 +2,10 @@
 long-form variants."""
 from .mel import Mel
 from .phase import Phase
-from .longform import LongFormMel, LongFormPhase
+from .longform import (LongFormMel, LongFormPhase, load_gl_checkpoint,
+                       save_gl_checkpoint)
 from .streaming import StreamingMel, StreamingPhase
 
 __all__ = ["Mel", "Phase", "LongFormMel", "LongFormPhase",
-           "StreamingMel", "StreamingPhase"]
+           "StreamingMel", "StreamingPhase",
+           "save_gl_checkpoint", "load_gl_checkpoint"]

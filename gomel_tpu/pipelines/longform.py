@@ -26,6 +26,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.config import MelConfig, PhaseConfig
 from ..core.filterbank import inverse_mel_weights, mel_weights
 from ..core.framing import num_frames, pad_length
+from ..ops.griffinlim import griffin_lim_magnitudes as _gl_magnitudes
+from ..ops.mel_ops import mel_to_linear as _mel_to_linear
 from ..parallel import sharded as sh
 from ..parallel.mesh import DATA_AXIS, FRAME_AXIS, host_to_global
 
@@ -205,3 +207,88 @@ class LongFormMel(_LongFormBase):
         # key as a host value: every process passes the same seed (SPMD)
         key = np.asarray(jax.random.PRNGKey(seed))
         return self._trim(fn(logmel_p, key), b, plan.out_len)
+
+    # -- resumable decode -----------------------------------------------------
+
+    def decode_resumable(self, logmel, seed: int = 0, momentum: float = 0.0,
+                         segment_iters: int = 8, callback=None,
+                         resume: tuple[int, object] | None = None
+                         ) -> jax.Array:
+        """``decode`` split into preemption-safe segments — checkpoint/resume
+        for the hour-scale GL-64 class of workloads (SURVEY.md §5: the
+        reference's only persistence is the PNG itself; a pod job needs to
+        survive restarts mid-Griffin-Lim).
+
+        Runs ``segment_iters`` GL iterations per device call; after each
+        segment ``callback(done_iters, carry)`` may persist the signal carry
+        (``save_gl_checkpoint``), and ``resume=(done_iters, carry)`` restarts
+        from one. With ``momentum == 0`` the segmented run executes the
+        IDENTICAL iteration sequence as ``decode`` (all interior iterations
+        reduced-precision, only the very last inverse exact) — bit-for-bit
+        equal output, pinned by tests/test_longform.py. With momentum the
+        extrapolation restarts at segment boundaries (slightly weaker
+        acceleration; any init/trajectory is parity-valid, mel/mel.go:81-83).
+        """
+        if segment_iters < 1:
+            raise ValueError("segment_iters must be >= 1")
+        plan = self._plan_for_frames(logmel.shape[1])
+        c = self.config
+        total = c.griffin_lim_iterations
+        logmel_p, b = self._prep_frames(logmel, plan)
+        prep = self._get(("prep", plan.n_frames_padded), lambda: jax.jit(
+            lambda lm: jax.vmap(_gl_magnitudes)(jax.vmap(
+                lambda s: _mel_to_linear(s, jnp.asarray(self._inv,
+                                                        self.dtype),
+                                         c.tune_mul, c.tune_add))(
+                lm.astype(self.dtype)))))
+        mag = prep(logmel_p)
+        batch = logmel_p.shape[0]
+        if resume is None:
+            noise = self._get(("noise", plan.n_frames_padded, batch),
+                              lambda: sh.sharded_gl_noise_fn(
+                                  self.mesh, plan, batch, self.dtype))
+            sig = noise(np.asarray(jax.random.PRNGKey(seed)))
+            done = 0
+        else:
+            done, sig = resume
+            if not isinstance(sig, jax.Array):
+                sig = self._put(np.asarray(sig, dtype=self.dtype),
+                                P(DATA_AXIS, FRAME_AXIS))
+        while done < total:
+            step = min(segment_iters, total - done)
+            last = done + step == total
+            gl = self._get(("glseg", plan.n_frames_padded, step, last,
+                            momentum), lambda: sh.sharded_griffin_lim_fn(
+                self.mesh, plan, step, self.dtype, momentum=momentum,
+                final_iteration=last))
+            sig = gl(mag, sig)
+            done += step
+            if callback is not None:
+                callback(done, sig)
+        return self._trim(sig, b, plan.out_len)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint persistence for decode_resumable
+# ---------------------------------------------------------------------------
+
+def save_gl_checkpoint(path: str, done: int, carry) -> None:
+    """Persist a ``decode_resumable`` checkpoint (iteration count + signal
+    carry) to ``path`` (.npz). Single-process meshes only: on a pod each
+    process sees only its own shards — persist
+    ``carry.addressable_shards`` per process from the callback instead."""
+    if jax.process_count() > 1:
+        raise ValueError(
+            "save_gl_checkpoint needs the full carry on one host; on "
+            "multi-process meshes persist carry.addressable_shards per "
+            "process from the decode_resumable callback")
+    with open(path, "wb") as f:
+        np.savez(f, done=int(done), carry=np.asarray(carry))
+
+
+def load_gl_checkpoint(path: str) -> tuple[int, np.ndarray]:
+    """Load a checkpoint written by :func:`save_gl_checkpoint`; pass the
+    result as ``decode_resumable(..., resume=...)``."""
+    with open(path, "rb") as f:
+        z = np.load(f)
+        return int(z["done"]), z["carry"]

@@ -94,3 +94,57 @@ def test_decode_cache_not_stale_across_frame_counts(mesh):
             want = np.asarray(single.decode(spec[i]))
             np.testing.assert_allclose(got[i][: len(want)], want,
                                        atol=1e-3, rtol=1e-3)
+
+
+def test_decode_resumable_matches_one_call_bit_for_bit(mesh):
+    """Segmented Griffin-Lim (decode_resumable) executes the identical
+    iteration sequence as the one-call decode: same per-shard noise init
+    (sharded_gl_noise_fn shares the fold_in scheme), all-interior segments,
+    exact final inverse only in the last segment."""
+    cfg = MelConfig(num_mels=24, griffin_lim_iterations=7, **CFG)
+    lf = LongFormMel(cfg, mesh)
+    x = np.random.default_rng(8).standard_normal((2, 4000)).astype(np.float32)
+    logmel = lf.encode(x)
+    want = np.asarray(lf.decode(logmel, seed=3))
+    for seg in (1, 3, 7, 100):
+        got = np.asarray(lf.decode_resumable(logmel, seed=3,
+                                             segment_iters=seg))
+        np.testing.assert_array_equal(got, want), seg
+
+
+def test_decode_resumable_checkpoint_roundtrip(mesh, tmp_path):
+    from gomel_tpu.pipelines.longform import (load_gl_checkpoint,
+                                              save_gl_checkpoint)
+    cfg = MelConfig(num_mels=24, griffin_lim_iterations=6, **CFG)
+    lf = LongFormMel(cfg, mesh)
+    x = np.random.default_rng(9).standard_normal((2, 4000)).astype(np.float32)
+    logmel = lf.encode(x)
+    want = np.asarray(lf.decode_resumable(logmel, seed=0, segment_iters=2))
+
+    # run the first 4 iterations, persist, "crash", resume the rest
+    ckpt = str(tmp_path / "gl.npz")
+    seen = []
+
+    def cb(done, carry):
+        seen.append(done)
+        if done == 4:
+            save_gl_checkpoint(ckpt, done, carry)
+
+    lf2 = LongFormMel(cfg, mesh)
+    out = lf2.decode_resumable(logmel, seed=0, segment_iters=2, callback=cb)
+    assert seen == [2, 4, 6]
+    lf3 = LongFormMel(cfg, mesh)
+    resumed = np.asarray(lf3.decode_resumable(
+        logmel, seed=0, segment_iters=2, resume=load_gl_checkpoint(ckpt)))
+    np.testing.assert_array_equal(resumed, want)
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_decode_resumable_momentum_runs(mesh):
+    cfg = MelConfig(num_mels=24, griffin_lim_iterations=6, **CFG)
+    lf = LongFormMel(cfg, mesh)
+    x = np.random.default_rng(10).standard_normal((2, 4000)).astype(np.float32)
+    logmel = lf.encode(x)
+    out = np.asarray(lf.decode_resumable(logmel, seed=0, momentum=0.9,
+                                         segment_iters=3))
+    assert np.isfinite(out).all()
