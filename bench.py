@@ -154,6 +154,25 @@ def main() -> None:
         print(f"phase encode: {audio_s / te:.0f} a-s/s, decode: "
               f"{audio_s / td:.0f} a-s/s, roundtrip: "
               f"{audio_s / (te + td):.0f} a-s/s", file=sys.stderr)
+
+        # shard_map tax on real hardware: the long-form frame-sharded encode
+        # on a 1x1 mesh runs the IDENTICAL halo-exchange program the pod
+        # runs (collectives lower to no-ops at mesh size 1); its throughput
+        # vs the plain path measures the scale-out layer's per-chip cost
+        from gomel_tpu.core.framing import num_frames
+        from gomel_tpu.parallel import sharded as sh
+        from gomel_tpu.parallel.mesh import make_mesh
+        mesh1 = make_mesh(data=1, frame=1, devices=[dev])
+        plan = sh.plan_frame_sharding(
+            num_frames(n, cfg.resolut, cfg.window), cfg.resolut, cfg.window, 1)
+        enc_sh = sh.sharded_mel_encode_fn(
+            mesh1, plan, cfg.num_mels,
+            mel_weights(cfg.n_bins, cfg.num_mels, cfg.mel_fmin, cfg.mel_fmax))
+        xps = [sh.pad_signal_for_plan(x, plan) for x in xbs]
+        ts = pipelined_time(enc_sh, [(x,) for x in xps], n_lo=8, n_hi=40)
+        print(f"frame-sharded encode (1x1 mesh): {audio_s / ts:.0f} a-s/s "
+              f"(shard_map tax {100 * (ts / best - 1):+.1f}% vs plain)",
+              file=sys.stderr)
     except Exception as e:  # secondary metrics must never break the bench
         print(f"secondary metrics skipped: {e}", file=sys.stderr)
 
