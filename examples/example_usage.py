@@ -96,6 +96,29 @@ def example_longform():
     wav = lf.decode(spec)
     print(f"frame-sharded over {n} devices: spec {spec.shape} wav {wav.shape}")
 
+    # resumable Griffin-Lim decode: run in preemption-safe segments, persist
+    # a checkpoint, resume after a "crash" — bit-identical to one-call decode
+    from gomel_tpu.core.config import MelConfig
+    from gomel_tpu.pipelines.longform import (LongFormMel,
+                                              load_gl_checkpoint,
+                                              save_gl_checkpoint)
+    mcfg = MelConfig(num_mels=24, window=64, resolut=256,
+                     griffin_lim_iterations=8)
+    lfm = LongFormMel(mcfg, mesh)
+    logmel = lfm.encode(x)
+    ckpt = "/tmp/gomel_tpu_example/gl_ckpt.npz"
+    import os
+    os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+    lfm.decode_resumable(
+        logmel, seed=0, segment_iters=4,
+        callback=lambda done, carry: save_gl_checkpoint(ckpt, done, carry)
+        if done == 4 else None)
+    resumed = lfm.decode_resumable(logmel, seed=0, segment_iters=4,
+                                   resume=load_gl_checkpoint(ckpt))
+    one_call = lfm.decode(logmel, seed=0)
+    same = bool(np.array_equal(np.asarray(resumed), np.asarray(one_call)))
+    print(f"resumable GL decode: resumed-from-checkpoint == one-call: {same}")
+
 
 def example_serving(tmpdir="/tmp/gomel_tpu_example"):
     print("\n=== AOT serving artifact (jax.export) ===")
@@ -108,12 +131,15 @@ def example_serving(tmpdir="/tmp/gomel_tpu_example"):
     exp = serving.export_mel_encoder(cfg, seconds=2.0, sample_rate=48000,
                                      batch=None)
     path = f"{tmpdir}/mel_enc.jaxexp"
-    serving.save_exported(exp, path)
+    serving.save_exported(exp, path, meta=serving.artifact_meta(
+        exp, cfg, kind="mel-enc", seconds=2.0, sample_rate=48000))
     art = serving.load_exported(path)          # serving host: no framework JIT
     n = exp.in_avals[0].shape[1]
     batch = np.random.default_rng(3).standard_normal((4, n)).astype(np.float32)
     logmel = art.call(jnp.asarray(batch))
-    print(f"artifact {os.path.getsize(path)} bytes; "
+    meta = serving.read_artifact_meta(path)    # self-describing: no filename
+    print(f"artifact {os.path.getsize(path)} bytes "
+          f"(kind={meta['kind']}, mels={meta['config']['num_mels']}); "
           f"batch {batch.shape} -> log-mel {logmel.shape}")
 
 
