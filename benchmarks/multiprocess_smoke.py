@@ -157,6 +157,8 @@ def run_worker(args) -> None:
                                          make_mesh)
 
     pid = args.process_id
+    # the data-axis section shards the batch over num_processes positions
+    BATCH = max(2, args.num_processes)
     initialize_multihost(args.coordinator, args.num_processes, pid)
     assert jax.process_count() == args.num_processes, jax.process_count()
     assert jax.local_device_count() == args.local_devices
