@@ -307,6 +307,48 @@ def run_worker(args) -> None:
     print(f"[p{pid}] BatchedMel.decode(process_local) ran end to end",
           flush=True)
 
+    # 3d. elastic recovery across the process boundary: every process
+    # persists ITS shards mid-decode, a simulated preemption aborts the run,
+    # fresh pipeline objects reassemble the carry and finish — bit-equal to
+    # the uninterrupted run (pipelines.longform sharded checkpointing)
+    import tempfile
+
+    from gomel_tpu.pipelines.longform import (load_gl_checkpoint_sharded,
+                                              save_gl_checkpoint_sharded)
+
+    ckpt_dir = os.path.join(tempfile.gettempdir(),
+                            f"gomel-elastic-{args.coordinator.split(':')[1]}")
+    mcfg6 = MelConfig(num_mels=24, griffin_lim_iterations=6, **CFG)
+    lfm6 = LongFormMel(mcfg6, mesh_f)
+    logmel6 = lfm6.encode(x)
+    want_gl6 = lfm6.decode_resumable(logmel6, seed=0, segment_iters=3)
+    want_shards = {str(s.index): np.asarray(s.data)
+                   for s in want_gl6.addressable_shards}
+
+    class _Preempted(Exception):
+        pass
+
+    def _cb(done_iters, carry):
+        save_gl_checkpoint_sharded(ckpt_dir, done_iters, carry)
+        if done_iters == 3:
+            raise _Preempted
+
+    try:
+        LongFormMel(mcfg6, mesh_f).decode_resumable(
+            logmel6, seed=0, segment_iters=3, callback=_cb)
+        raise AssertionError("preemption did not fire")
+    except _Preempted:
+        pass
+    done_iters, carry = load_gl_checkpoint_sharded(ckpt_dir, mesh_f)
+    assert done_iters == 3
+    resumed = LongFormMel(mcfg6, mesh_f).decode_resumable(
+        logmel6, seed=0, segment_iters=3, resume=(done_iters, carry))
+    for s in resumed.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(s.data),
+                                      want_shards[str(s.index)])
+    print(f"[p{pid}] elastic recovery ok: per-process shard checkpoints, "
+          "resume bit-equal across the process boundary", flush=True)
+
     print(f"{OK_MARKER} process {pid}/{args.num_processes}: {n} global "
           "devices, cross-process halo exchange + global pmax verified, "
           "high-level LongForm/Batched APIs verified across processes",

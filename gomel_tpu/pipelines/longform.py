@@ -292,3 +292,74 @@ def load_gl_checkpoint(path: str) -> tuple[int, np.ndarray]:
     with open(path, "rb") as f:
         z = np.load(f)
         return int(z["done"]), z["carry"]
+
+
+# -- multi-process (pod) checkpointing: each process persists its shards ----
+
+def _index_key(index, shape) -> str:
+    """Canonical string for a shard's global slice (device-id independent,
+    stable across restarts)."""
+    parts = []
+    for sl, dim in zip(index, shape):
+        start = 0 if sl.start is None else int(sl.start)
+        stop = dim if sl.stop is None else int(sl.stop)
+        parts.append(f"{start}-{stop}")
+    return "_".join(parts)
+
+
+def save_gl_checkpoint_sharded(ckpt_dir: str, done: int, carry) -> None:
+    """Pod-capable checkpoint: every process writes the shards its devices
+    own (one .npz per distinct global slice) into a shared/per-host
+    directory — the elastic-recovery half of ``decode_resumable`` on
+    multi-process meshes, where no single host holds the full carry.
+
+    Files are keyed by the shard's GLOBAL slice, not device ids, so a
+    restarted job with the same mesh shape reassembles them regardless of
+    device enumeration details. Safe on a single process too.
+    """
+    import os
+    os.makedirs(ckpt_dir, exist_ok=True)
+    shape = carry.shape
+    for s in carry.addressable_shards:
+        fname = os.path.join(ckpt_dir,
+                             f"shard_{_index_key(s.index, shape)}.npz")
+        tmp = fname + f".tmp{jax.process_index()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, data=np.asarray(s.data))
+        os.replace(tmp, fname)  # atomic publish (preemption-safe)
+    # every process writes the (identical) META atomically: no cross-host
+    # ordering or shared-filesystem requirement — a process restarting from
+    # its own local directory has everything it needs
+    meta = os.path.join(ckpt_dir, "META.npz")
+    tmp = meta + f".tmp{jax.process_index()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, done=int(done), shape=np.asarray(shape),
+                 dtype=str(carry.dtype))
+    os.replace(tmp, meta)
+
+
+def load_gl_checkpoint_sharded(ckpt_dir: str, mesh: Mesh
+                               ) -> tuple[int, jax.Array]:
+    """Reassemble a :func:`save_gl_checkpoint_sharded` checkpoint on a mesh
+    of the same shape: each process loads only the shard files its own
+    devices need and the global carry is built with
+    ``jax.make_array_from_single_device_arrays`` — no host ever holds the
+    full signal. Returns ``(done, carry)`` for ``decode_resumable(resume=)``.
+    """
+    import os
+    from jax.sharding import NamedSharding
+    with open(os.path.join(ckpt_dir, "META.npz"), "rb") as f:
+        z = np.load(f)
+        done = int(z["done"])
+        shape = tuple(int(d) for d in z["shape"])
+        dtype = str(z["dtype"])
+    sharding = NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS))
+    arrays = []
+    for dev, index in sharding.addressable_devices_indices_map(shape).items():
+        fname = os.path.join(ckpt_dir,
+                             f"shard_{_index_key(index, shape)}.npz")
+        with open(fname, "rb") as f:
+            data = np.load(f)["data"].astype(dtype)
+        arrays.append(jax.device_put(data, dev))
+    carry = jax.make_array_from_single_device_arrays(shape, sharding, arrays)
+    return done, carry

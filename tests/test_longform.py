@@ -148,3 +148,35 @@ def test_decode_resumable_momentum_runs(mesh):
     out = np.asarray(lf.decode_resumable(logmel, seed=0, momentum=0.9,
                                          segment_iters=3))
     assert np.isfinite(out).all()
+
+
+def test_sharded_checkpoint_roundtrip(mesh, tmp_path):
+    """Pod-capable per-shard checkpointing: save every addressable shard,
+    reassemble with make_array_from_single_device_arrays, resume — equals
+    the uninterrupted run bit-for-bit."""
+    from gomel_tpu.pipelines.longform import (load_gl_checkpoint_sharded,
+                                              save_gl_checkpoint_sharded)
+    cfg = MelConfig(num_mels=24, griffin_lim_iterations=6, **CFG)
+    lf = LongFormMel(cfg, mesh)
+    x = np.random.default_rng(11).standard_normal((2, 4000)).astype(np.float32)
+    logmel = lf.encode(x)
+    want = np.asarray(lf.decode_resumable(logmel, seed=0, segment_iters=3))
+
+    ckpt = str(tmp_path / "glckpt")
+
+    class Preempted(Exception):
+        pass
+
+    def cb(done, carry):
+        save_gl_checkpoint_sharded(ckpt, done, carry)
+        if done == 3:
+            raise Preempted  # simulated preemption mid-run
+
+    with pytest.raises(Preempted):
+        LongFormMel(cfg, mesh).decode_resumable(logmel, seed=0,
+                                                segment_iters=3, callback=cb)
+    done, carry = load_gl_checkpoint_sharded(ckpt, mesh)
+    assert done == 3
+    resumed = np.asarray(LongFormMel(cfg, mesh).decode_resumable(
+        logmel, seed=0, segment_iters=3, resume=(done, carry)))
+    np.testing.assert_array_equal(resumed, want)

@@ -33,7 +33,8 @@ def test_two_process_bringup_and_parity():
     for marker in ("LongFormPhase.encode across 2 processes",
                    "LongFormPhase.decode across 2 processes",
                    "LongFormMel.encode across 2 processes",
-                   "BatchedMel.encode(process_local)"):
+                   "BatchedMel.encode(process_local)",
+                   "elastic recovery ok"):
         assert out.count(marker) == 2, (marker, out)
 
 
