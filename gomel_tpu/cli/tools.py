@@ -44,6 +44,10 @@ def _mel_parser(prog: str, png_input: bool) -> argparse.ArgumentParser:
                        help="output sample rate (default 44100)")
         p.add_argument("--seed", type=int, default=0,
                        help="Griffin-Lim PRNG seed")
+        p.add_argument("--gl-momentum", type=float, default=0.0,
+                       help="fast-GL acceleration (0 = reference behavior; "
+                            "0.99 converges like ~2-4x the iterations, "
+                            "benchmarks/RESULTS.md)")
     p.add_argument("--output", "-o", default=None, help="output path")
     p.add_argument("--num-mels", type=int, default=d.num_mels)
     p.add_argument("--window", type=int, default=d.window)
@@ -86,7 +90,8 @@ def towav(argv: Optional[Sequence[str]] = None) -> int:
     outfile = a.output or a.filename + ".wav"
     m = _mel_from_args(a, sample_rate=a.sample_rate)
     try:
-        m.to_wav_png(a.filename, outfile, seed=a.seed)
+        m.to_wav_png(a.filename, outfile, seed=a.seed,
+                     momentum=a.gl_momentum)
     except Exception as e:
         print(f"Error generating wave from spectrogram: {e}", file=sys.stderr)
         return 1

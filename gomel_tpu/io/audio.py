@@ -85,16 +85,23 @@ def load_flac(path: str, mono: str = "mean", scaling: str = "phase") -> tuple[np
     return audio, int(sr)
 
 
-def save_wav(path: str, audio: np.ndarray, sample_rate: int, clip: bool = True) -> None:
-    """Save mono 16-bit PCM WAV. Clips to [-1, 1] like the port
+def save_wav(path: str, audio: np.ndarray, sample_rate: int,
+             clip: bool = True, stereo: bool = False) -> None:
+    """Save 16-bit PCM WAV. Clips to [-1, 1] like the port
     (/root/reference/phase.py:592-605); float->int16 uses libsndfile's
     scale-by-32768 with saturation. Non-finite samples raise (the reference
     design doc's error contract, design.md "Numerical Issues"; the port
-    itself would silently write garbage)."""
+    itself would silently write garbage).
+
+    ``stereo=True`` duplicates mono into two identical channels — the Go
+    ``dumpwav`` container layout (mel/impl.go:195-232 streams mono through a
+    2-channel beep encoder); default mono matches the Python port."""
     audio = np.asarray(audio, dtype=np.float64)
     if not np.isfinite(audio).all():
         raise ValueError("audio contains NaN/Inf samples")
     if clip:
         audio = np.clip(audio, -1.0, 1.0)
     pcm = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
+    if stereo and pcm.ndim == 1:
+        pcm = np.stack([pcm, pcm], axis=1)
     wavcodec.write_wav(path, pcm, int(sample_rate))

@@ -196,18 +196,21 @@ class Mel:
                                     scaling="mel")
         return self.encode(buf)
 
-    def to_wav_png(self, input_file: str, output_file: str, seed: int = 0) -> int:
+    def to_wav_png(self, input_file: str, output_file: str, seed: int = 0,
+                   momentum: float = 0.0) -> int:
         """mel PNG -> WAV (reference ToWavPng, mel/mel.go:211-238).
 
         VolumeBoost is added to the LOG-domain values before decoding
         (mel/mel.go:218-221); output is trimmed via the padding detector and
         the embedded sample rate is used when none is configured. Returns the
-        sample rate written."""
+        sample rate written. ``momentum`` > 0 opts into fast-GL
+        (ops/griffinlim.py); 0.0 = exact reference behavior."""
         spec, samples, sr = imagecodec.load_mel_image(
             input_file, self.config.y_reverse)
         if self.config.volume_boost != 0.0:
             spec = spec + self.config.volume_boost
-        wave = np.asarray(self.decode(spec, seed=seed), dtype=np.float64)
+        wave = np.asarray(self.decode(spec, seed=seed, momentum=momentum),
+                          dtype=np.float64)
         samples_i = int(samples)
         if samples_i > 0 and is_padded(samples_i, len(wave), self.config.window) \
                 and len(wave) > samples_i:

@@ -205,3 +205,36 @@ def test_batch_process_shard_splits_work(tmp_path):
     got1 = sorted(os.listdir(out1))
     assert got0 == ["u0.wav.png", "u2.wav.png", "u4.wav.png"]
     assert got1 == ["u1.wav.png", "u3.wav.png"]
+
+
+def test_towav_gl_momentum_flag(wav_file, tmp_path):
+    png = str(tmp_path / "m.png")
+    assert tools.tomel([wav_file, "-o", png, "--num-mels", "32",
+                        "--window", "64", "--resolut", "256"]) == 0
+    plain = str(tmp_path / "plain.wav")
+    fast = str(tmp_path / "fast.wav")
+    args = [png, "48000", "--num-mels", "32", "--window", "64",
+            "--resolut", "256", "--seed", "0"]
+    assert tools.towav(args + ["-o", plain]) == 0
+    assert tools.towav(args + ["-o", fast, "--gl-momentum", "0.99"]) == 0
+    a, _ = load_wav(plain)
+    b, _ = load_wav(fast)
+    assert len(a) == len(b)
+    assert not np.array_equal(a, b)  # momentum changes the GL trajectory
+
+
+def test_save_wav_stereo_go_layout(tmp_path):
+    """stereo=True duplicates mono into 2 identical channels — the Go
+    dumpwav container layout (mel/impl.go:195-232); mono='left' reads
+    channel 0 back bit-exactly."""
+    from gomel_tpu.io.audio import save_wav as _sw
+    from gomel_tpu.io import wavcodec
+    t = np.arange(400) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    p = str(tmp_path / "st.wav")
+    _sw(p, x, 8000, stereo=True)
+    raw, sr = wavcodec.read_wav(p)
+    assert raw.ndim == 2 and raw.shape[1] == 2
+    np.testing.assert_array_equal(raw[:, 0], raw[:, 1])
+    mono, _ = load_wav(p, mono="left")
+    np.testing.assert_allclose(mono, np.clip(x, -1, 1), atol=1 / 32768)
