@@ -39,11 +39,28 @@ def _add_shard_flag(p: argparse.ArgumentParser) -> None:
 
 
 def _apply_shard(files: List[str], a) -> List[str]:
+    """Strided per-process split. An EMPTY shard of a non-empty file list is
+    a success for array jobs (COUNT may exceed the file count) — signalled
+    by returning [] while files was non-empty; the tools print a note and
+    exit 0 in that case."""
     if a.process_shard is None:
         return files
     from ..io.dataset import shard_files_for_process
     idx, cnt = a.process_shard
-    return shard_files_for_process(files, idx, cnt)
+    try:
+        return shard_files_for_process(files, idx, cnt)
+    except ValueError as e:
+        print(f"--process-shard: {e}", file=sys.stderr)
+        raise SystemExit(2)
+
+
+def _empty_ok(a) -> int:
+    """Exit status for an empty (post-shard) work list."""
+    if a.process_shard is not None:
+        print("no files in this process shard (ok)", file=sys.stderr)
+        return 0
+    print("no input files", file=sys.stderr)
+    return 1
 
 
 def _collect(paths: Sequence[str]) -> List[str]:
@@ -102,8 +119,7 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
                     window=a.window, resolut=a.resolut)
     files = _apply_shard(_collect(a.inputs), a)
     if not files:
-        print("no input files", file=sys.stderr)
-        return 1
+        return _empty_ok(a)
     ds = AudioDataset(files, mono="go_concat", flac_scaling="mel",
                       num_workers=a.workers)
     items = [(path, buf, sr) for path, buf, sr in ds]
@@ -146,8 +162,7 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
 
     files = _apply_shard(_collect(a.inputs), a)
     if not files:
-        print("no input files", file=sys.stderr)
-        return 1
+        return _empty_ok(a)
     ds = AudioDataset(files, mono="go_concat", flac_scaling="phase",
                       num_workers=a.workers)
     groups: dict[int, list] = {}
@@ -244,8 +259,7 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
 
     files = _apply_shard(_collect_pngs(a.inputs), a)
     if not files:
-        print("no input files", file=sys.stderr)
-        return 1
+        return _empty_ok(a)
     ihs_passes = 2 if (a.ihs and not a.hdr) else 0
     groups: dict[tuple, list] = {}
     for path in files:
@@ -308,8 +322,7 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
 
     files = _apply_shard(_collect_pngs(a.inputs), a)
     if not files:
-        print("no input files", file=sys.stderr)
-        return 1
+        return _empty_ok(a)
     cfg = MelConfig(num_mels=a.num_mels, mel_fmax=a.fmax, y_reverse=True,
                     window=a.window, resolut=a.resolut,
                     griffin_lim_iterations=a.griffin_lim_iterations)

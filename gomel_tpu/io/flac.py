@@ -28,7 +28,7 @@ def _configure_flac(lib):
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int)]
+        ctypes.POINTER(ctypes.c_int), ctypes.c_long]
     lib.flac_free.restype = None
     lib.flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
 
@@ -40,8 +40,11 @@ def _get_lib():
     return _flaclib.get()
 
 
-def read_flac(path: str, layout: str = "interleaved"
-              ) -> tuple[np.ndarray, int]:
+DEFAULT_MAX_SAMPLES = 1 << 31  # total across channels; ~6 h 48 kHz stereo
+
+
+def read_flac(path: str, layout: str = "interleaved",
+              max_samples: int | None = None) -> tuple[np.ndarray, int]:
     """Decode a FLAC file -> (int PCM, sample_rate).
 
     layout="interleaved": [n, channels] (or [n] mono) sample-interleaved.
@@ -51,6 +54,10 @@ def read_flac(path: str, layout: str = "interleaved"
     /root/reference/phase/impl.go:373-378); mono files are identical in both
     layouts.
 
+    ``max_samples`` raises/lowers the decompression-bomb ceiling (total
+    samples across channels; default DEFAULT_MAX_SAMPLES = 2^31) — pass a
+    larger value for legitimate multi-hour archives.
+
     16-bit streams return int16 arrays (so io.audio._to_float applies the
     1/32768 scaling the reference uses for 16-bit content); deeper streams
     return int32 scaled to full 32-bit range.
@@ -58,6 +65,7 @@ def read_flac(path: str, layout: str = "interleaved"
     if layout not in ("interleaved", "go_concat"):
         raise ValueError(f"unknown layout {layout!r}")
     lay = 1 if layout == "go_concat" else 0
+    cap = int(max_samples) if max_samples else DEFAULT_MAX_SAMPLES
     with open(path, "rb") as f:
         data = f.read()
     lib = _get_lib()
@@ -69,7 +77,7 @@ def read_flac(path: str, layout: str = "interleaved"
         bps = ctypes.c_int()
         rc = lib.flac_decode(data, len(data), lay, ctypes.byref(out),
                              ctypes.byref(n), ctypes.byref(ch),
-                             ctypes.byref(sr), ctypes.byref(bps))
+                             ctypes.byref(sr), ctypes.byref(bps), cap)
         if rc != 0:
             raise ValueError(f"FLAC decode failed (rc={rc}): {path!r}")
         try:
@@ -78,7 +86,7 @@ def read_flac(path: str, layout: str = "interleaved"
             lib.flac_free(out)
         pcm, channels, rate, depth = arr, ch.value, sr.value, bps.value
     else:
-        pcm, channels, rate, depth = _decode_python(data, lay)
+        pcm, channels, rate, depth = _decode_python(data, lay, cap)
     pcm = pcm.reshape(-1, channels)
     if channels == 1:
         pcm = pcm[:, 0]
@@ -190,7 +198,8 @@ def _decode_subframe_py(br: _Bits, blocksize: int, bps: int) -> list:
     return out
 
 
-def _decode_python(data: bytes, layout: int = 0
+def _decode_python(data: bytes, layout: int = 0,
+                   max_samples: int = DEFAULT_MAX_SAMPLES
                    ) -> tuple[np.ndarray, int, int, int]:
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
@@ -222,7 +231,7 @@ def _decode_python(data: bytes, layout: int = 0
         bomb_cap = (total + 65536) * (si_ch or 8)
     else:
         bomb_cap = len(data) * 8192 + (1 << 20)
-    bomb_cap = min(bomb_cap, 1 << 33)
+    bomb_cap = min(bomb_cap, max_samples)
     while pos + 4 < len(data):
         while pos + 1 < len(data) and not (
             data[pos] == 0xFF and (data[pos + 1] & 0xFC) == 0xF8

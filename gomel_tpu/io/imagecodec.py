@@ -168,29 +168,31 @@ def _detect_phase_layout(img: np.ndarray) -> str:
     """Layout detection for ``layout="auto"``.
 
     Primary discriminator: the Go writer stores the conjugate hint B = -val0
-    in the blue channel of EVERY pixel (/root/reference/phase/impl.go:229,256)
-    — the pixel holding the per-channel max always quantizes nonzero — while
-    the Python port leaves blue at 0 outside the metadata column
-    (/root/reference/phase.py:695-714). Checking the blue plane away from the
-    metadata column (x >= 1) is therefore exact whenever the image has more
-    than one column, including silent/constant audio whose float16 metadata
-    happens to contain zero bytes.
+    in the blue channel of EVERY pixel (/root/reference/phase/impl.go:229,256),
+    while the Python port leaves blue at 0 everywhere except the metadata
+    bytes in column 0 (/root/reference/phase.py:695-714). Any nonzero blue
+    OUTSIDE the 16-byte metadata window therefore proves "go" — this covers
+    silent/constant audio (Go quantizes the degenerate norm 0.5 to a nonzero
+    hint) and images whose channel-0 content is concentrated anywhere
+    visible.
 
-    Fallback (single-column images only): the Go 16-byte block has
-    float16-zero placeholder bytes at offsets 4:6 and 10:12.
+    If the entire visible blue plane is zero (normal for every py image; for
+    a Go image it requires all visible val0 to quantize to 0, i.e. the
+    channel maximum hiding under the metadata bytes), fall back to the block
+    structure: bytes 0:4 of the Go window hold float16 max0/max1 (nonzero
+    unless both maxima are exactly 0), while for py those rows are data
+    (blue 0).
     """
     nf = img.shape[0]
     if nf < GO_PHASE_META_BYTES:
         return "py"  # cannot be the 16-byte Go layout
-    if img.shape[1] > 1:
-        return "go" if np.any(img[:, 1:, 2]) else "py"
-    blue = img[:, 0, 2]
+    meta_start = nf - GO_PHASE_META_BYTES
+    if np.any(img[:, 1:, 2]) or np.any(img[:meta_start, 0, 2]):
+        return "go"
+    blue = img[meta_start:, 0, 2]
     if img.dtype == np.uint16:
         blue = blue & 0xFF
-    else:
-        blue = blue.astype(np.uint16)
-    tail = blue[nf - GO_PHASE_META_BYTES:].tolist()
-    if tail[4] == 0 and tail[5] == 0 and tail[10] == 0 and tail[11] == 0:
+    if np.any(blue[:4]):  # go's max0/max1 float16 bytes
         return "go"
     return "py"
 

@@ -283,9 +283,12 @@ extern "C" {
 // break commented out); *channels is reported as 1 and *n_samples is the
 // total concatenated length.
 // On success returns 0; caller frees *out with flac_free.
+// max_total_samples: decompression-bomb ceiling (total samples across
+// channels); <= 0 selects the default 2^31 (~6 h of 48 kHz stereo).
 int flac_decode(const uint8_t* buf, long len, int layout,
                 int32_t** out, long* n_samples,
-                int* channels, int* sample_rate, int* bps) {
+                int* channels, int* sample_rate, int* bps,
+                long max_total_samples) {
     if (len < 8 || memcmp(buf, "fLaC", 4) != 0) return -1;
     size_t pos = 4;
     StreamInfo si;
@@ -349,9 +352,12 @@ int flac_decode(const uint8_t* buf, long len, int layout,
         bomb_cap = (si.total_samples + 65536ull) * (uint64_t)(si.channels ? si.channels : 8);
     else
         bomb_cap = (uint64_t)len * 8192ull + (1ull << 20);
-    // 2^30-sample hard cap (~3 h of 48 kHz stereo): far above any real
-    // artifact, small enough that overcommit Linux OOM-kill is unreachable
-    if (bomb_cap > (1ull << 30)) bomb_cap = 1ull << 30;
+    // Hard cap: caller-configurable so multi-hour archives can raise it;
+    // the 2^31 default (~6 h of 48 kHz stereo) keeps a crafted stream from
+    // driving tens of GiB of growth on overcommit Linux.
+    uint64_t hard_cap = max_total_samples > 0
+        ? (uint64_t)max_total_samples : (1ull << 31);
+    if (bomb_cap > hard_cap) bomb_cap = hard_cap;
 
     std::vector<std::vector<int64_t>> chans;
     int nch_out = 0;

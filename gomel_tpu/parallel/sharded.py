@@ -200,13 +200,14 @@ def _local_irfft_windowed(re, im, window_np, plan: FrameShardPlan, dtype):
 
 
 def _local_irfft_windowed_lowp(re, im, window_np, plan: FrameShardPlan,
-                               dtype):
+                               dtype, use_mm: bool | None = None):
     """Interior-Griffin-Lim inverse: mm backend at DEFAULT with the window
     folded into the weights (bandwidth-minimal; error never reaches the
-    output — the final iteration uses the exact path above)."""
+    output — the final iteration uses the exact path above). ``use_mm=None``
+    resolves "auto_lowp" at trace time; export callers pin it."""
     from ..ops import dft_mm
 
-    if _use_mm(plan.frame_len):
+    if _use_mm(plan.frame_len) if use_mm is None else use_mm:
         return dft_mm.irfft_windowed(re, im, plan.frame_len, window_np,
                                      jax.lax.Precision.DEFAULT).astype(dtype)
     return _local_irfft_windowed(re, im, window_np, plan, dtype)
@@ -245,13 +246,16 @@ def _specs(mesh: Mesh):
     return sig, spec
 
 
-def sharded_stft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32):
+def sharded_stft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32,
+                    fft_backend: str = "auto"):
     """Build a jitted [B, F_pad*hop] -> (re, im) sharded STFT, each plane
     [B, F_pad, N/2+1].
 
     Real/imag planes, not complex64 — complex arrays cannot leave the device
     on the axon transport (CLAUDE.md) and the sibling kernels are all
-    plane-based."""
+    plane-based. ``fft_backend="auto"`` resolves against the TRACE-time
+    default backend (ops/fftbackend.py) — jax.export callers must pass an
+    explicit backend (serving.py does)."""
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
     sig_spec, spec_spec = _specs(mesh)
 
@@ -259,7 +263,7 @@ def sharded_stft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32):
         shard_map, mesh=mesh, in_specs=(sig_spec,),
         out_specs=(P(DATA_AXIS, FRAME_AXIS, None),) * 2)
     def _fn(x):
-        return _local_stft_planes(x, window, plan)
+        return _local_stft_planes(x, window, plan, fft_backend)
 
     return jax.jit(_fn)
 
@@ -294,6 +298,17 @@ def sharded_istft_fn(mesh: Mesh, plan: FrameShardPlan, dtype=jnp.float32):
     return jax.jit(_fn)
 
 
+def _shard_noise(key, plan: FrameShardPlan, b_loc: int, dtype):
+    """Per-shard uniform Griffin-Lim init (inside shard_map): fold both mesh
+    axis indices into the key. SINGLE definition shared by the fused
+    noise_init path and the standalone generator — decode_resumable's
+    bit-equality with decode depends on them never drifting."""
+    shard_id = (jax.lax.axis_index(DATA_AXIS) * plan.n_shards
+                + jax.lax.axis_index(FRAME_AXIS))
+    return jax.random.uniform(jax.random.fold_in(key, shard_id),
+                              (b_loc, plan.chunk), dtype=dtype)
+
+
 def sharded_gl_noise_fn(mesh: Mesh, plan: FrameShardPlan, batch: int,
                         dtype=jnp.float32):
     """key -> [batch, F_pad*hop] per-shard uniform Griffin-Lim init, drawn
@@ -309,10 +324,7 @@ def sharded_gl_noise_fn(mesh: Mesh, plan: FrameShardPlan, batch: int,
     @functools.partial(shard_map, mesh=mesh, in_specs=(P(),),
                        out_specs=P(DATA_AXIS, FRAME_AXIS))
     def _fn(key):
-        shard_id = (jax.lax.axis_index(DATA_AXIS) * plan.n_shards
-                    + jax.lax.axis_index(FRAME_AXIS))
-        return jax.random.uniform(jax.random.fold_in(key, shard_id),
-                                  (b_loc, plan.chunk), dtype=dtype)
+        return _shard_noise(key, plan, b_loc, dtype)
 
     return jax.jit(_fn)
 
@@ -320,7 +332,8 @@ def sharded_gl_noise_fn(mesh: Mesh, plan: FrameShardPlan, batch: int,
 def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
                            dtype=jnp.float32, momentum: float = 0.0,
                            noise_init: bool = False,
-                           final_iteration: bool = True):
+                           final_iteration: bool = True,
+                           interior_mm: bool | None = None):
     """Build a jitted sharded Griffin-Lim:
     (mag [B, F_pad, N/2+1], sig0 [B, F_pad*hop]) -> [B, F_pad*hop].
 
@@ -349,6 +362,11 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
     (pipelines.longform.LongFormMel.decode_resumable): only the run's very
     last segment sets it True, so the concatenation of segments executes the
     identical iteration sequence as one n_total call.
+
+    ``interior_mm`` pins the interior transform backend: True = direct-DFT
+    matmuls (the measured TPU optimum, platform-portable), False = XLA FFT,
+    None (default) = resolve "auto_lowp" against the TRACE-time backend.
+    jax.export callers must pass an explicit value (serving.py passes True).
     """
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
 
@@ -359,11 +377,7 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
         out_specs=P(DATA_AXIS, FRAME_AXIS))
     def _fn(mag_loc, sig0):
         if noise_init:
-            shard_id = (jax.lax.axis_index(DATA_AXIS) * plan.n_shards
-                        + jax.lax.axis_index(FRAME_AXIS))
-            sig0 = jax.random.uniform(
-                jax.random.fold_in(sig0, shard_id),
-                (mag_loc.shape[0], plan.chunk), dtype=dtype)
+            sig0 = _shard_noise(sig0, plan, mag_loc.shape[0], dtype)
         mask = _local_frame_mask(plan.frames_per_shard, plan.n_frames,
                                  FRAME_AXIS)
         mag = jnp.where(mask[None, :, None], mag_loc, 0.0)
@@ -374,7 +388,7 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
         # reaches the output)
         low = jax.lax.Precision.DEFAULT
         wnp = hann_window(plan.frame_len)
-        use_mm = _use_mm(plan.frame_len)
+        use_mm = _use_mm(plan.frame_len) if interior_mm is None else interior_mm
         from ..ops import dft_mm
 
         def body(sig, final):
@@ -392,7 +406,8 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
                                               wnp, plan, window.dtype)
             else:
                 rec_w = _local_irfft_windowed_lowp(
-                    mag * unit_re, mag * unit_im, wnp, plan, window.dtype)
+                    mag * unit_re, mag * unit_im, wnp, plan, window.dtype,
+                    use_mm)
             return _local_overlap_add(rec_w, plan)
 
         mom = float(momentum)
@@ -419,16 +434,18 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
 # ---------------------------------------------------------------------------
 
 def sharded_phase_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_freqs: int,
-                            dtype=jnp.float32):
+                            dtype=jnp.float32, fft_backend: str = "auto"):
     """[B, F_pad*hop] audio -> [B, F_pad, num_freqs, 2] phase spectrogram
-    (parity: /root/reference/phase/phase.go:41-70 — see ops/phase_ops.py)."""
+    (parity: /root/reference/phase/phase.go:41-70 — see ops/phase_ops.py).
+    jax.export callers must pass an explicit ``fft_backend`` ("auto" is
+    resolved at trace time)."""
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P(DATA_AXIS, FRAME_AXIS),),
         out_specs=P(DATA_AXIS, FRAME_AXIS, None, None))
     def _fn(x):
-        re, im = _local_stft_planes(x, window, plan)
+        re, im = _local_stft_planes(x, window, plan, fft_backend)
         return jnp.stack([im[..., 1:num_freqs + 1],
                           re[..., 1:num_freqs + 1]], axis=-1)
 
@@ -465,11 +482,13 @@ def sharded_phase_decode_fn(mesh: Mesh, plan: FrameShardPlan,
 
 
 def sharded_mel_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_mels: int,
-                          fwd_weights: jax.Array, dtype=jnp.float32):
+                          fwd_weights: jax.Array, dtype=jnp.float32,
+                          fft_backend: str = "auto"):
     """[B, F_pad*hop] audio -> [B, F_pad, num_mels, 2] log-mel
     (parity: /root/reference/mel/mel.go:46-74). The filterbank matmul is
     replicated per shard — frames are the sharded axis, the weight matrix is
-    small and lives on every chip."""
+    small and lives on every chip. jax.export callers must pass an explicit
+    ``fft_backend`` ("auto" is resolved at trace time)."""
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
     fwd = jnp.asarray(fwd_weights, dtype=dtype)
 
@@ -477,7 +496,7 @@ def sharded_mel_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_mels: int,
         shard_map, mesh=mesh, in_specs=(P(DATA_AXIS, FRAME_AXIS), P()),
         out_specs=P(DATA_AXIS, FRAME_AXIS, None, None))
     def _fn(x, w):
-        re, im = _local_stft_planes(x, window, plan)
+        re, im = _local_stft_planes(x, window, plan, fft_backend)
         mags = jnp.sqrt(re * re + im * im)
         ch = jnp.stack([mags[..., :-1], mags[..., 1:]], axis=-1)
         mel = jnp.einsum("bfnc,mn->bfmc", ch, w.astype(ch.dtype),
@@ -490,13 +509,16 @@ def sharded_mel_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_mels: int,
 def sharded_mel_decode_fn(mesh: Mesh, plan: FrameShardPlan,
                           inv_weights: jax.Array, n_iter: int,
                           tune_mul: float = 1.0, tune_add: float = 0.0,
-                          dtype=jnp.float32, momentum: float = 0.0):
+                          dtype=jnp.float32, momentum: float = 0.0,
+                          interior_mm: bool | None = None):
     """[B, F_pad, num_mels, 2] log-mel + PRNG key -> [B, F_pad*hop] audio via
     sharded Griffin-Lim (parity: /root/reference/mel/mel.go:142-152;
-    ``momentum`` > 0 = opt-in fast-GL, ops/griffinlim.py)."""
+    ``momentum`` > 0 = opt-in fast-GL, ops/griffinlim.py; ``interior_mm``
+    pins the interior transform backend for jax.export callers)."""
     inv = jnp.asarray(inv_weights, dtype=dtype)
     gl = sharded_griffin_lim_fn(mesh, plan, n_iter, dtype=dtype,
-                                momentum=momentum, noise_init=True)
+                                momentum=momentum, noise_init=True,
+                                interior_mm=interior_mm)
 
     @jax.jit
     def _fn(logmel, key):

@@ -152,6 +152,8 @@ class LongFormPhase(_LongFormBase):
 
     def decode(self, spec) -> jax.Array:
         """[B, F, num_freqs, 2] -> [B, out_len]."""
+        if not hasattr(spec, "shape"):
+            spec = np.asarray(spec)
         plan = self._plan_for_frames(spec.shape[1])
         fn = self._get(("dec", plan.n_frames_padded, plan.n_frames,
                         float(self.config.volume_boost)), lambda: (
@@ -195,6 +197,8 @@ class LongFormMel(_LongFormBase):
         iterations for equal convergence at no per-iteration cost — the
         preferred setting for the long-form GL-64 class of workloads.
         """
+        if not hasattr(logmel, "shape"):
+            logmel = np.asarray(logmel)
         plan = self._plan_for_frames(logmel.shape[1])
         c = self.config
         fn = self._get(("dec", plan.n_frames_padded, plan.n_frames,
@@ -231,6 +235,8 @@ class LongFormMel(_LongFormBase):
         """
         if segment_iters < 1:
             raise ValueError("segment_iters must be >= 1")
+        if not hasattr(logmel, "shape"):
+            logmel = np.asarray(logmel)
         plan = self._plan_for_frames(logmel.shape[1])
         c = self.config
         total = c.griffin_lim_iterations
@@ -257,8 +263,12 @@ class LongFormMel(_LongFormBase):
         while done < total:
             step = min(segment_iters, total - done)
             last = done + step == total
-            gl = self._get(("glseg", plan.n_frames_padded, step, last,
-                            momentum), lambda: sh.sharded_griffin_lim_fn(
+            # key must include plan.n_frames: two inputs with different real
+            # frame counts can pad to the same n_frames_padded but need
+            # different real-frame masks
+            gl = self._get(("glseg", plan.n_frames_padded, plan.n_frames,
+                            step, last, momentum),
+                           lambda: sh.sharded_griffin_lim_fn(
                 self.mesh, plan, step, self.dtype, momentum=momentum,
                 final_iteration=last))
             sig = gl(mag, sig)
@@ -309,57 +319,113 @@ def _index_key(index, shape) -> str:
 
 def save_gl_checkpoint_sharded(ckpt_dir: str, done: int, carry) -> None:
     """Pod-capable checkpoint: every process writes the shards its devices
-    own (one .npz per distinct global slice) into a shared/per-host
-    directory — the elastic-recovery half of ``decode_resumable`` on
-    multi-process meshes, where no single host holds the full carry.
+    own (one .npz per distinct global slice) — the elastic-recovery half of
+    ``decode_resumable`` on multi-process meshes, where no single host holds
+    the full carry.
 
-    Files are keyed by the shard's GLOBAL slice, not device ids, so a
-    restarted job with the same mesh shape reassembles them regardless of
-    device enumeration details. Safe on a single process too.
+    Checkpoint-atomic layout: each iteration count gets its OWN
+    ``iter_<done>/`` subdirectory; a process publishes its per-process
+    ``COMPLETE.p<rank>`` marker only AFTER all its shard files landed, and
+    every shard file embeds ``done``. A preemption mid-save leaves a
+    partial subdirectory that :func:`load_gl_checkpoint_sharded` simply
+    skips (the previous complete checkpoint survives untouched), and a
+    mixed-iteration reassembly is impossible — shard stamps are validated
+    at load. Files are keyed by the shard's GLOBAL slice, not device ids,
+    so a restarted job with the same mesh shape reassembles them regardless
+    of device enumeration details. Safe on a single process too.
     """
     import os
-    os.makedirs(ckpt_dir, exist_ok=True)
     shape = carry.shape
+    sub = os.path.join(ckpt_dir, f"iter_{int(done):08d}")
+    os.makedirs(sub, exist_ok=True)
+    pid = jax.process_index()
     for s in carry.addressable_shards:
-        fname = os.path.join(ckpt_dir,
-                             f"shard_{_index_key(s.index, shape)}.npz")
-        tmp = fname + f".tmp{jax.process_index()}"
+        fname = os.path.join(sub, f"shard_{_index_key(s.index, shape)}.npz")
+        tmp = fname + f".tmp{pid}"
         with open(tmp, "wb") as f:
-            np.savez(f, data=np.asarray(s.data))
-        os.replace(tmp, fname)  # atomic publish (preemption-safe)
-    # every process writes the (identical) META atomically: no cross-host
-    # ordering or shared-filesystem requirement — a process restarting from
-    # its own local directory has everything it needs
-    meta = os.path.join(ckpt_dir, "META.npz")
-    tmp = meta + f".tmp{jax.process_index()}"
+            np.savez(f, data=np.asarray(s.data), done=int(done))
+        os.replace(tmp, fname)  # atomic per-file publish
+    # META is identical from every process (idempotent, no cross-host
+    # ordering or shared-filesystem requirement)
+    meta = os.path.join(sub, "META.npz")
+    tmp = meta + f".tmp{pid}"
     with open(tmp, "wb") as f:
         np.savez(f, done=int(done), shape=np.asarray(shape),
                  dtype=str(carry.dtype))
     os.replace(tmp, meta)
+    # completeness marker LAST: this process's shards are all in place
+    with open(os.path.join(sub, f"COMPLETE.p{pid}"), "w"):
+        pass
 
 
-def load_gl_checkpoint_sharded(ckpt_dir: str, mesh: Mesh
+def _complete_checkpoints(ckpt_dir: str) -> list[int]:
+    """Iteration counts with META + this process's completeness marker."""
+    import os
+    pid = jax.process_index()
+    out = []
+    try:
+        names = os.listdir(ckpt_dir)
+    except FileNotFoundError:
+        return out
+    for name in names:
+        if not name.startswith("iter_"):
+            continue
+        sub = os.path.join(ckpt_dir, name)
+        if (os.path.exists(os.path.join(sub, f"COMPLETE.p{pid}"))
+                and os.path.exists(os.path.join(sub, "META.npz"))):
+            out.append(int(name[5:]))
+    return sorted(out)
+
+
+def load_gl_checkpoint_sharded(ckpt_dir: str, mesh: Mesh,
+                               done: int | None = None
                                ) -> tuple[int, jax.Array]:
     """Reassemble a :func:`save_gl_checkpoint_sharded` checkpoint on a mesh
     of the same shape: each process loads only the shard files its own
     devices need and the global carry is built with
     ``jax.make_array_from_single_device_arrays`` — no host ever holds the
     full signal. Returns ``(done, carry)`` for ``decode_resumable(resume=)``.
+
+    ``done=None`` picks the newest checkpoint every process completed: on a
+    multi-process mesh the processes agree on min(per-process newest) via a
+    host allgather, so a preemption that interrupted some processes' saves
+    rolls every process back to the last globally-complete iteration.
     """
     import os
     from jax.sharding import NamedSharding
-    with open(os.path.join(ckpt_dir, "META.npz"), "rb") as f:
+    if done is None:
+        local = _complete_checkpoints(ckpt_dir)
+        if not local:
+            raise ValueError(f"no complete checkpoint in {ckpt_dir!r}")
+        done = local[-1]
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            everyone = np.asarray(multihost_utils.process_allgather(
+                np.int64(done)))
+            done = int(everyone.min())
+            if done not in local:
+                raise ValueError(
+                    f"globally-agreed checkpoint iter_{done} is not "
+                    f"complete on process {jax.process_index()}")
+    sub = os.path.join(ckpt_dir, f"iter_{int(done):08d}")
+    with open(os.path.join(sub, "META.npz"), "rb") as f:
         z = np.load(f)
-        done = int(z["done"])
+        meta_done = int(z["done"])
         shape = tuple(int(d) for d in z["shape"])
         dtype = str(z["dtype"])
+    if meta_done != done:
+        raise ValueError(f"checkpoint {sub!r} META stamps done={meta_done}")
     sharding = NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS))
     arrays = []
     for dev, index in sharding.addressable_devices_indices_map(shape).items():
-        fname = os.path.join(ckpt_dir,
-                             f"shard_{_index_key(index, shape)}.npz")
+        fname = os.path.join(sub, f"shard_{_index_key(index, shape)}.npz")
         with open(fname, "rb") as f:
-            data = np.load(f)["data"].astype(dtype)
+            z = np.load(f)
+            if int(z["done"]) != done:  # mixed-iteration guard
+                raise ValueError(
+                    f"shard {fname!r} stamps done={int(z['done'])}, "
+                    f"expected {done}")
+            data = z["data"].astype(dtype)
         arrays.append(jax.device_put(data, dev))
     carry = jax.make_array_from_single_device_arrays(shape, sharding, arrays)
     return done, carry

@@ -219,19 +219,23 @@ def _longform_batch(batch, mesh) -> int:
 
 def export_longform_mel_encoder(config: MelConfig, mesh, *, n_frames: int,
                                 batch=None, dtype=jnp.float32,
+                                fft_backend: str = "mxu",
                                 platforms=DEFAULT_PLATFORMS
                                 ) -> jax_export.Exported:
     """Frame-sharded [B, F_pad*hop] audio -> [B, F_pad, num_mels, 2] log-mel
     over ``mesh`` (parallel/sharded.sharded_mel_encode_fn). ``n_frames`` is
     the REAL frame count; input length and padded frame count come from the
-    sharding plan (``longform_plan``)."""
+    sharding plan (``longform_plan``). The FFT backend is EXPLICIT (default
+    the measured TPU optimum) — "auto" would bake the BUILD host's backend
+    into the artifact (CLAUDE.md)."""
     from .parallel import sharded as sh
     from .parallel.mesh import FRAME_AXIS
     c = config
     plan = sh.plan_frame_sharding(n_frames, c.resolut, c.window,
                                   mesh.shape[FRAME_AXIS])
     fwd = mel_weights(c.n_bins, c.num_mels, c.mel_fmin, c.mel_fmax)
-    fn = sh.sharded_mel_encode_fn(mesh, plan, c.num_mels, fwd, dtype)
+    fn = sh.sharded_mel_encode_fn(mesh, plan, c.num_mels, fwd, dtype,
+                                  fft_backend=fft_backend)
     b = _longform_batch(batch, mesh)
     spec = jax.ShapeDtypeStruct((b, plan.sharded_signal_len), dtype)
     return jax_export.export(fn, platforms=list(platforms))(spec)
@@ -240,11 +244,15 @@ def export_longform_mel_encoder(config: MelConfig, mesh, *, n_frames: int,
 def export_longform_mel_decoder(config: MelConfig, mesh, *, n_frames: int,
                                 batch=None, dtype=jnp.float32,
                                 momentum: float = 0.0,
+                                interior_mm: bool = True,
                                 platforms=DEFAULT_PLATFORMS
                                 ) -> jax_export.Exported:
     """Frame-sharded Griffin-Lim decode: ([B, F_pad, num_mels, 2] log-mel,
     [2] uint32 key) -> [B, F_pad*hop] audio. Init noise is drawn per shard
-    inside the artifact (fold_in of the mesh axis indices)."""
+    inside the artifact (fold_in of the mesh axis indices). The interior
+    transform backend is pinned EXPLICITLY (default True = direct-DFT
+    matmuls, the measured TPU optimum) — the live path's trace-time
+    "auto_lowp" resolution would bake the BUILD host's backend (CLAUDE.md)."""
     from .parallel import sharded as sh
     from .parallel.mesh import FRAME_AXIS
     c = config
@@ -253,7 +261,7 @@ def export_longform_mel_decoder(config: MelConfig, mesh, *, n_frames: int,
     inv = inverse_mel_weights(c.n_bins, c.num_mels, c.mel_fmin, c.mel_fmax)
     fn = sh.sharded_mel_decode_fn(mesh, plan, inv, c.griffin_lim_iterations,
                                   c.tune_mul, c.tune_add, dtype,
-                                  momentum=momentum)
+                                  momentum=momentum, interior_mm=interior_mm)
     b = _longform_batch(batch, mesh)
     spec = jax.ShapeDtypeStruct((b, plan.n_frames_padded, c.num_mels, 2),
                                 dtype)
@@ -264,15 +272,19 @@ def export_longform_mel_decoder(config: MelConfig, mesh, *, n_frames: int,
 def export_longform_phase_encoder(config: PhaseConfig, mesh, *,
                                   n_frames: int, batch=None,
                                   dtype=jnp.float32,
+                                  fft_backend: str = "mxu",
                                   platforms=DEFAULT_PLATFORMS
                                   ) -> jax_export.Exported:
-    """Frame-sharded [B, F_pad*hop] audio -> [B, F_pad, num_freqs, 2]."""
+    """Frame-sharded [B, F_pad*hop] audio -> [B, F_pad, num_freqs, 2].
+    Explicit FFT backend (default the measured TPU optimum) — "auto" would
+    bake the BUILD host's backend (CLAUDE.md)."""
     from .parallel import sharded as sh
     from .parallel.mesh import FRAME_AXIS
     c = config
     plan = sh.plan_frame_sharding(n_frames, c.resolut, c.window,
                                   mesh.shape[FRAME_AXIS])
-    fn = sh.sharded_phase_encode_fn(mesh, plan, c.num_freqs, dtype)
+    fn = sh.sharded_phase_encode_fn(mesh, plan, c.num_freqs, dtype,
+                                    fft_backend=fft_backend)
     b = _longform_batch(batch, mesh)
     spec = jax.ShapeDtypeStruct((b, plan.sharded_signal_len), dtype)
     return jax_export.export(fn, platforms=list(platforms))(spec)
@@ -307,12 +319,19 @@ def longform_plan(config, mesh, n_frames: int):
                                   mesh.shape[FRAME_AXIS])
 
 
+# jitted-call cache: jax.jit caches per WRAPPER identity, so re-wrapping
+# exp.call every invocation would re-trace (and worst-case recompile) the
+# artifact per request. Keyed by id(exp) with a strong ref — a process holds
+# a handful of artifacts, each multi-MB anyway.
+_CALL_CACHE: dict = {}
+
+
 def call_longform(exp: jax_export.Exported, mesh, *args) -> jax.Array:
     """Run a longform artifact on ``mesh``: shard each host input the way
     the artifact expects (rank-2 floats = [B, signal] over (data, frame);
     rank>=3 = [B, frames, ...]; rank-1 = replicated key) and invoke
-    ``exp.call`` under jit. Works on multi-process meshes — inputs go
-    through mesh.host_to_global."""
+    ``exp.call`` under a cached jit (compiled once per artifact). Works on
+    multi-process meshes — inputs go through mesh.host_to_global."""
     from jax.sharding import PartitionSpec as P
     from .parallel.mesh import DATA_AXIS, FRAME_AXIS, host_to_global
     if len(mesh.devices.flatten()) != exp.nr_devices:
@@ -327,7 +346,9 @@ def call_longform(exp: jax_export.Exported, mesh, *args) -> jax.Array:
         else:
             spec = P()
         sharded.append(host_to_global(np.asarray(a), mesh, spec))
-    return jax.jit(exp.call)(*sharded)
+    if id(exp) not in _CALL_CACHE:
+        _CALL_CACHE[id(exp)] = (exp, jax.jit(exp.call))
+    return _CALL_CACHE[id(exp)][1](*sharded)
 
 
 # -- persistence -------------------------------------------------------------
@@ -374,28 +395,40 @@ def save_exported(exp: jax_export.Exported, path: str,
         f.write(exp.serialize())
 
 
-def _split_artifact(path: str) -> tuple[dict, bytes]:
+def _read_artifact(path: str, with_blob: bool) -> tuple[dict, bytes | None]:
+    """Parse an artifact file. ``with_blob=False`` reads ONLY the header —
+    no full-file read for multi-hundred-MB pod artifacts. Malformed/truncated
+    files always raise ValueError (the module's error contract)."""
     import json
     import struct
     with open(path, "rb") as f:
-        blob = f.read()
-    if blob.startswith(_MAGIC):
-        off = len(_MAGIC)
-        (hlen,) = struct.unpack("<I", blob[off:off + 4])
-        header = json.loads(blob[off + 4:off + 4 + hlen] or b"{}")
-        return header, blob[off + 4 + hlen:]
-    if blob.startswith(_MAGIC_V1):  # round-2 artifacts: no header
-        return {}, blob[len(_MAGIC_V1):]
+        magic = f.read(len(_MAGIC))
+        if magic == _MAGIC:
+            lenb = f.read(4)
+            if len(lenb) < 4:
+                raise ValueError(f"{path}: truncated artifact header")
+            (hlen,) = struct.unpack("<I", lenb)
+            hdr = f.read(hlen)
+            if len(hdr) < hlen:
+                raise ValueError(f"{path}: truncated artifact header")
+            try:
+                header = json.loads(hdr or b"{}")
+            except ValueError as e:
+                raise ValueError(f"{path}: corrupt artifact header ({e})"
+                                 ) from None
+            return header, (f.read() if with_blob else None)
+        if magic == _MAGIC_V1:  # round-2 artifacts: no header
+            return {}, (f.read() if with_blob else None)
     raise ValueError(f"{path} is not a gomel_tpu serving artifact")
 
 
 def load_exported(path: str) -> jax_export.Exported:
     """Load an artifact written by :func:`save_exported`; ``.call(*args)``
     runs it (compiling for the local platform on first call)."""
-    return jax_export.deserialize(_split_artifact(path)[1])
+    return jax_export.deserialize(_read_artifact(path, with_blob=True)[1])
 
 
 def read_artifact_meta(path: str) -> dict:
     """The JSON self-description header (empty dict for round-2 v1
-    artifacts) — readable without deserializing the StableHLO blob."""
-    return _split_artifact(path)[0]
+    artifacts) — reads only the header bytes, never the StableHLO blob."""
+    return _read_artifact(path, with_blob=False)[0]

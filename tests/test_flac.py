@@ -267,3 +267,19 @@ def test_decompression_bomb_rejected(tmp_path):
     # whenever the native toolchain is unavailable)
     with pytest.raises(ValueError, match="rc=-7"):
         flac._decode_python(open(bomb, "rb").read())
+
+
+def test_max_samples_cap_is_configurable(tmp_path):
+    """Round-3 review: the bomb ceiling must not reject legitimate long
+    files — it is caller-configurable; a deliberately tiny cap rejects."""
+    from gomel_tpu.io.flac import read_flac, write_flac
+    sr = 8000
+    x = 0.25 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+    p = str(tmp_path / "cap.flac")
+    write_flac(p, x, sr)
+    pcm, rate = read_flac(p)            # default cap: fine
+    assert rate == sr and len(pcm) == sr
+    pcm2, _ = read_flac(p, max_samples=len(pcm) + 70000)  # explicit, fine
+    np.testing.assert_array_equal(pcm, pcm2)
+    with pytest.raises(ValueError):
+        read_flac(p, max_samples=100)   # tiny cap must reject

@@ -180,3 +180,62 @@ def test_sharded_checkpoint_roundtrip(mesh, tmp_path):
     resumed = np.asarray(LongFormMel(cfg, mesh).decode_resumable(
         logmel, seed=0, segment_iters=3, resume=(done, carry)))
     np.testing.assert_array_equal(resumed, want)
+
+
+def test_decode_resumable_cache_not_stale_across_frame_counts(mesh):
+    """Regression (round-3 review): F=12 and F=10 inputs can pad to the same
+    n_frames_padded; the cached segment fn must not reuse the wrong
+    real-frame mask (the cache key now includes plan.n_frames)."""
+    cfg = MelConfig(num_mels=24, griffin_lim_iterations=4, **CFG)
+    lf = LongFormMel(cfg, mesh)
+    rng = np.random.default_rng(12)
+    for f in (12, 10, 14):
+        logmel = rng.standard_normal((2, f, 24, 2)).astype(np.float32)
+        got = np.asarray(lf.decode_resumable(logmel, seed=0,
+                                             segment_iters=2))
+        fresh = np.asarray(LongFormMel(cfg, mesh).decode_resumable(
+            logmel, seed=0, segment_iters=2))
+        np.testing.assert_array_equal(got, fresh)
+
+
+def test_longform_decode_accepts_plain_lists(mesh):
+    # round-2 accepted nested lists (jnp.asarray ran first); keep that
+    cfg = PhaseConfig(num_freqs=16, window=32, resolut=128)
+    lf = LongFormPhase(cfg, mesh)
+    spec = np.random.default_rng(13).standard_normal((2, 8, 16, 2))
+    out = np.asarray(lf.decode(spec.tolist()))
+    want = np.asarray(lf.decode(spec.astype(np.float32)))
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_sharded_checkpoint_partial_save_is_skipped(mesh, tmp_path):
+    """A preemption mid-save leaves a partial iter_ subdirectory (no
+    completeness marker); load must roll back to the last complete one and
+    reject mixed-iteration shards."""
+    import os
+    from gomel_tpu.pipelines.longform import (load_gl_checkpoint_sharded,
+                                              save_gl_checkpoint_sharded)
+    cfg = MelConfig(num_mels=24, griffin_lim_iterations=4, **CFG)
+    lf = LongFormMel(cfg, mesh)
+    x = np.random.default_rng(14).standard_normal((2, 4000)).astype(np.float32)
+    logmel = lf.encode(x)
+    ckpt = str(tmp_path / "glckpt")
+    lf.decode_resumable(logmel, seed=0, segment_iters=2,
+                        callback=lambda d, c: save_gl_checkpoint_sharded(
+                            ckpt, d, c))
+    # simulate a partial save at iteration 6: shards+META but no marker
+    done4 = os.path.join(ckpt, "iter_00000004")
+    partial = os.path.join(ckpt, "iter_00000006")
+    os.makedirs(partial)
+    for name in os.listdir(done4):
+        if name.startswith(("shard_", "META")):
+            with open(os.path.join(done4, name), "rb") as f:
+                blob = f.read()
+            with open(os.path.join(partial, name), "wb") as f:
+                f.write(blob)
+            break  # only ONE file: definitely incomplete
+    done, carry = load_gl_checkpoint_sharded(ckpt, mesh)
+    assert done == 4
+    # explicit done pointing at the incomplete dir fails loudly, not wrongly
+    with pytest.raises((ValueError, FileNotFoundError)):
+        load_gl_checkpoint_sharded(ckpt, mesh, done=6)

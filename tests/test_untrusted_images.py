@@ -194,3 +194,17 @@ def test_read_png_garbage_fuzz(tmp_path):
         p = _write(tmp_path / f"fuzz{i}.png", blob)
         with pytest.raises(ValueError):
             read_png(p)
+
+
+@pytest.mark.parametrize("layout", ["go", "py"])
+def test_layout_autodetect_click_at_t0(tmp_path, layout):
+    """Regression (round-3 review): a Go image whose channel-0 energy is
+    concentrated in the FIRST frame quantizes every off-column-0 blue hint
+    to 0 — detection must still classify it via column 0 / the block
+    structure, not assume 'py'."""
+    spec = np.zeros((10, 32, 2), dtype=np.float64)
+    spec[0, :, 0] = 1.0   # click at t=0, channel 0
+    spec[0, :, 1] = 1.0
+    got, samples, sr, nf = _roundtrip_layout(tmp_path, spec, layout)
+    assert nf == 32
+    np.testing.assert_allclose(got, spec, atol=1.5 / 255)
