@@ -181,7 +181,10 @@ def _detect_phase_layout(img: np.ndarray) -> str:
     channel maximum hiding under the metadata bytes), fall back to the block
     structure: bytes 0:4 of the Go window hold float16 max0/max1 (nonzero
     unless both maxima are exactly 0), while for py those rows are data
-    (blue 0).
+    (blue 0). The last tiebreak (e.g. a 16-row single-frame silent image,
+    which is 100% metadata and byte-ambiguous) is the container itself: Go
+    writes NRGBA/NRGBA64 (4 channels, phase/impl.go:191-196) while the port
+    writes RGB (phase.py:716-737).
     """
     nf = img.shape[0]
     if nf < GO_PHASE_META_BYTES:
@@ -194,7 +197,7 @@ def _detect_phase_layout(img: np.ndarray) -> str:
         blue = blue & 0xFF
     if np.any(blue[:4]):  # go's max0/max1 float16 bytes
         return "go"
-    return "py"
+    return "go" if img.shape[2] == 4 else "py"
 
 
 def load_phase_image(path: str, y_reverse: bool, ihs_passes: int = 0,

@@ -208,3 +208,39 @@ def test_layout_autodetect_click_at_t0(tmp_path, layout):
     got, samples, sr, nf = _roundtrip_layout(tmp_path, spec, layout)
     assert nf == 32
     np.testing.assert_allclose(got, spec, atol=1.5 / 255)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: layout auto-detection over arbitrary content
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st, HealthCheck
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2 ** 32 - 1),
+       frames=st.integers(1, 12), nf=st.integers(16, 40),
+       layout=st.sampled_from(["go", "py"]),
+       kind=st.sampled_from(["normal", "silent", "click0", "negative"]))
+def test_layout_autodetect_fuzz(tmp_path, seed, frames, nf, layout, kind):
+    """Auto-detection must pick the writing layout for arbitrary content —
+    including the degenerate families that defeated earlier heuristics
+    (silence, click-at-t0, all-negative)."""
+    rng = np.random.default_rng(seed)
+    if kind == "normal":
+        spec = rng.standard_normal((frames, nf, 2))
+    elif kind == "silent":
+        spec = np.zeros((frames, nf, 2))
+    elif kind == "click0":
+        spec = np.zeros((frames, nf, 2))
+        spec[0] = np.abs(rng.standard_normal((nf, 2))) + 0.5
+    else:  # negative: values in [-2, -1]
+        spec = -1.0 - rng.random((frames, nf, 2))
+    p = str(tmp_path / f"fz_{layout}_{kind}_{seed}.png")
+    imagecodec.save_phase_image(p, spec, y_reverse=True,
+                                samples_in_mel=7.0, sample_rate=48000.0,
+                                layout=layout)
+    img = imagecodec.read_png(p)
+    img = imagecodec._at_least_rgb(img)[::-1, :, :]
+    assert imagecodec._detect_phase_layout(img) == layout
