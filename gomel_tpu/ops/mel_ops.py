@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .stft import frame_signal, hann_window
+from .stft import frame_signal, hann_window, map_frame_chunks
 from .fftbackend import rfft_mag
 from .griffinlim import griffin_lim, griffin_lim_magnitudes
 
@@ -37,15 +37,25 @@ def spectral_denormalize(x: jax.Array) -> jax.Array:
 def mel_encode(x_padded: jax.Array, num_mels: int, frame_len: int, hop: int,
                fwd_weights: jax.Array,
                window: jax.Array | None = None,
-               fft_backend: str = "auto") -> jax.Array:
+               fft_backend: str = "auto",
+               frame_chunk: int | None = None) -> jax.Array:
     """Audio -> log-mel spectrogram [F, num_mels, 2].
 
     fwd_weights: [num_mels, N/2] filterbank matrix (core.filterbank.mel_weights).
     fft_backend: "auto" picks the MXU-matmul FFT on TPU (ops/mxu_fft.py).
+    frame_chunk: process the frames in ``lax.map`` chunks of this size —
+    numerically identical output (float-ulp reduction-order differences), ~1.7x faster at hour-scale shapes whose [F, N]
+    intermediates would spill to HBM (ops/stft.py map_frame_chunks /
+    auto_frame_chunk; measured in benchmarks/exp_longform_chunked.py).
     """
-    frames = frame_signal(x_padded, frame_len, hop)
     if window is None:
         window = jnp.asarray(hann_window(frame_len), dtype=x_padded.dtype)
+    if frame_chunk:
+        return map_frame_chunks(
+            x_padded, frame_len, hop, frame_chunk,
+            lambda seg: mel_encode(seg, num_mels, frame_len, hop,
+                                   fwd_weights, window, fft_backend))
+    frames = frame_signal(x_padded, frame_len, hop)
     mags = rfft_mag(frames * window, frame_len, fft_backend)  # [F, N/2+1]
     ch = jnp.stack([mags[:, :-1], mags[:, 1:]], axis=-1)  # [F, N/2, 2]
     # One MXU matmul for both channels: [F, N/2, 2] x [num_mels, N/2]

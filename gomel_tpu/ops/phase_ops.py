@@ -19,14 +19,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .stft import frame_signal, hann_window
+from .stft import frame_signal, hann_window, map_frame_chunks
 from .fftbackend import rfft_planes
 from .istft import istft_direct_planes
 
 
 def phase_encode(x_padded: jax.Array, num_freqs: int, frame_len: int, hop: int,
                  window: jax.Array | None = None,
-                 fft_backend: str = "auto") -> jax.Array:
+                 fft_backend: str = "auto",
+                 frame_chunk: int | None = None) -> jax.Array:
     """Audio -> phase spectrogram [F, num_freqs, 2].
 
     Reference (phase/phase.go:50-64): per bin j in [0, N/2):
@@ -34,10 +35,18 @@ def phase_encode(x_padded: jax.Array, num_freqs: int, frame_len: int, hop: int,
         ch0 = imag(v0) = imag(S[j+1]); ch1 = real(v1) = real(S[j+1])
     then ``shrink`` keeps the first num_freqs bins (phase/impl.go:383-391).
     So the channels are just (imag, real) of rfft bins 1..num_freqs.
+
+    frame_chunk: lax.map chunking for hour-scale inputs (numerically
+    identical; see ops/mel_ops.mel_encode).
     """
-    frames = frame_signal(x_padded, frame_len, hop)
     if window is None:
         window = jnp.asarray(hann_window(frame_len), dtype=x_padded.dtype)
+    if frame_chunk:
+        return map_frame_chunks(
+            x_padded, frame_len, hop, frame_chunk,
+            lambda seg: phase_encode(seg, num_freqs, frame_len, hop,
+                                     window, fft_backend))
+    frames = frame_signal(x_padded, frame_len, hop)
     re, im = rfft_planes(frames * window, frame_len, fft_backend)
     return jnp.stack([im[:, 1:num_freqs + 1], re[:, 1:num_freqs + 1]],
                      axis=-1)

@@ -38,12 +38,12 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.stft import frame_signal, hann_window
+from ..ops.stft import auto_frame_chunk, frame_signal, hann_window
 from ..ops.fftbackend import irfft_planes, rfft_planes
 from ..ops.istft import overlap_add, normalize_by_window_sum
 from ..ops.griffinlim import griffin_lim_magnitudes
-from ..ops.mel_ops import spectral_normalize, mel_to_linear
-from ..ops.phase_ops import grow_half_planes
+from ..ops.mel_ops import mel_encode, spectral_normalize, mel_to_linear
+from ..ops.phase_ops import grow_half_planes, phase_encode
 from .mesh import DATA_AXIS, FRAME_AXIS
 
 
@@ -434,17 +434,27 @@ def sharded_griffin_lim_fn(mesh: Mesh, plan: FrameShardPlan, n_iter: int,
 # ---------------------------------------------------------------------------
 
 def sharded_phase_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_freqs: int,
-                            dtype=jnp.float32, fft_backend: str = "auto"):
+                            dtype=jnp.float32, fft_backend: str = "auto",
+                            frame_chunk="auto"):
     """[B, F_pad*hop] audio -> [B, F_pad, num_freqs, 2] phase spectrogram
     (parity: /root/reference/phase/phase.go:41-70 — see ops/phase_ops.py).
     jax.export callers must pass an explicit ``fft_backend`` ("auto" is
-    resolved at trace time)."""
+    resolved at trace time). ``frame_chunk``: lax.map chunking of each
+    shard's frames once they outgrow VMEM (ops/stft.py)."""
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
+    fc = (auto_frame_chunk(plan.frames_per_shard)
+          if frame_chunk == "auto" else frame_chunk)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P(DATA_AXIS, FRAME_AXIS),),
         out_specs=P(DATA_AXIS, FRAME_AXIS, None, None))
     def _fn(x):
+        if fc:
+            halo = _pull_right_halo(x, plan.halo, plan.n_shards, FRAME_AXIS)
+            x_ext = jnp.concatenate([x, halo], axis=-1)
+            return jax.vmap(lambda s: phase_encode(
+                s, num_freqs, plan.frame_len, plan.hop, window,
+                fft_backend, frame_chunk=fc))(x_ext)
         re, im = _local_stft_planes(x, window, plan, fft_backend)
         return jnp.stack([im[..., 1:num_freqs + 1],
                           re[..., 1:num_freqs + 1]], axis=-1)
@@ -483,19 +493,29 @@ def sharded_phase_decode_fn(mesh: Mesh, plan: FrameShardPlan,
 
 def sharded_mel_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_mels: int,
                           fwd_weights: jax.Array, dtype=jnp.float32,
-                          fft_backend: str = "auto"):
+                          fft_backend: str = "auto", frame_chunk="auto"):
     """[B, F_pad*hop] audio -> [B, F_pad, num_mels, 2] log-mel
     (parity: /root/reference/mel/mel.go:46-74). The filterbank matmul is
     replicated per shard — frames are the sharded axis, the weight matrix is
     small and lives on every chip. jax.export callers must pass an explicit
-    ``fft_backend`` ("auto" is resolved at trace time)."""
+    ``fft_backend`` ("auto" is resolved at trace time). ``frame_chunk``:
+    lax.map chunking of each shard's frames once they outgrow VMEM
+    (measured 1.7x at the 30-minute shape, ops/stft.py)."""
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
     fwd = jnp.asarray(fwd_weights, dtype=dtype)
+    fc = (auto_frame_chunk(plan.frames_per_shard)
+          if frame_chunk == "auto" else frame_chunk)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P(DATA_AXIS, FRAME_AXIS), P()),
         out_specs=P(DATA_AXIS, FRAME_AXIS, None, None))
     def _fn(x, w):
+        if fc:
+            halo = _pull_right_halo(x, plan.halo, plan.n_shards, FRAME_AXIS)
+            x_ext = jnp.concatenate([x, halo], axis=-1)
+            return jax.vmap(lambda s: mel_encode(
+                s, num_mels, plan.frame_len, plan.hop, w, window,
+                fft_backend, frame_chunk=fc))(x_ext)
         re, im = _local_stft_planes(x, window, plan, fft_backend)
         mags = jnp.sqrt(re * re + im * im)
         ch = jnp.stack([mags[..., :-1], mags[..., 1:]], axis=-1)

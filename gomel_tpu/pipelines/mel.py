@@ -22,16 +22,19 @@ import numpy as np
 
 from ..core.config import ConfigError, MelConfig
 from ..core.filterbank import mel_weights, inverse_mel_weights
-from ..core.framing import is_padded, pad_length
+from ..core.framing import is_padded, num_frames, pad_length
 from ..io import audio as audio_io
 from ..io import imagecodec
 from ..ops.mel_ops import mel_encode, mel_decode
-from ..ops.stft import hann_window
+from ..ops.stft import auto_frame_chunk, hann_window
 
 
-@functools.partial(jax.jit, static_argnames=("num_mels", "frame_len", "hop"))
-def _encode_jit(x, fwd_w, window, num_mels, frame_len, hop):
-    return mel_encode(x, num_mels, frame_len, hop, fwd_w, window)
+@functools.partial(jax.jit, static_argnames=("num_mels", "frame_len", "hop",
+                                             "frame_chunk"))
+def _encode_jit(x, fwd_w, window, num_mels, frame_len, hop,
+                frame_chunk=None):
+    return mel_encode(x, num_mels, frame_len, hop, fwd_w, window,
+                      frame_chunk=frame_chunk)
 
 
 @functools.partial(jax.jit,
@@ -95,8 +98,11 @@ class Mel:
             x = np.pad(x, (0, padded - len(x)))
         fwd, _ = self._weights()
         c = self.config
+        # hour-scale inputs: chunked analysis keeps per-chunk intermediates
+        # VMEM-resident (ops/stft.auto_frame_chunk)
+        fc = auto_frame_chunk(num_frames(len(x), c.resolut, c.window))
         return _encode_jit(jnp.asarray(x, dtype=self.dtype), fwd, self._win(),
-                           c.num_mels, c.resolut, c.window)
+                           c.num_mels, c.resolut, c.window, frame_chunk=fc)
 
     def decode(self, logmel, seed: int = 0, momentum: float = 0.0) -> jax.Array:
         """log-mel [F, num_mels, 2] -> audio (device array), Griffin-Lim.

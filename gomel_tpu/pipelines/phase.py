@@ -27,17 +27,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import (PhaseConfig, num_freqs_for_sample_rate, pad_shift)
-from ..core.framing import is_padded, pad_length
+from ..core.framing import is_padded, num_frames, pad_length
 from ..io import audio as audio_io
 from ..io import imagecodec
 from ..ops.phase_ops import phase_encode, phase_decode
 from ..ops.resample import zero_stuff_upsample
-from ..ops.stft import hann_window
+from ..ops.stft import auto_frame_chunk, hann_window
 
 
-@functools.partial(jax.jit, static_argnames=("num_freqs", "frame_len", "hop"))
-def _encode_jit(x, window, num_freqs, frame_len, hop):
-    return phase_encode(x, num_freqs, frame_len, hop, window)
+@functools.partial(jax.jit, static_argnames=("num_freqs", "frame_len", "hop",
+                                             "frame_chunk"))
+def _encode_jit(x, window, num_freqs, frame_len, hop, frame_chunk=None):
+    return phase_encode(x, num_freqs, frame_len, hop, window,
+                        frame_chunk=frame_chunk)
 
 
 @functools.partial(jax.jit,
@@ -92,8 +94,11 @@ class Phase:
         if padded != len(x):
             x = np.pad(x, (0, padded - len(x)))
         c = self.config
+        # hour-scale inputs: chunked analysis keeps per-chunk intermediates
+        # VMEM-resident (ops/stft.auto_frame_chunk)
+        fc = auto_frame_chunk(num_frames(len(x), c.resolut, c.window))
         return _encode_jit(jnp.asarray(x, dtype=self.dtype), self._win(),
-                           c.num_freqs, c.resolut, c.window)
+                           c.num_freqs, c.resolut, c.window, frame_chunk=fc)
 
     def decode(self, spec2) -> jax.Array:
         """Phase spectrogram [F, num_freqs, 2] -> audio (device array)."""

@@ -186,3 +186,22 @@ def test_sharded_griffin_lim_64_iterations(mesh):
     # (also low-precision, but differently-ordered) loop
     denom = np.abs(np.asarray(want)).max()
     assert np.abs(g - np.asarray(want)).max() / denom < 0.02
+
+
+def test_sharded_encode_frame_chunked_matches_unchunked(mesh):
+    """The frame_chunk path inside the shard_map body (hour-scale encode)
+    must match the flat per-shard kernel."""
+    L = FRAME_LEN + 41 * HOP
+    x = _sig(L)
+    plan = _plan_for(L)
+    w = mel_weights(FRAME_LEN // 2, 24, 0.0, 8000.0)
+    xp = sh.pad_signal_for_plan(jnp.asarray(x), plan)
+    base = sh.sharded_mel_encode_fn(mesh, plan, 24, w, frame_chunk=None)(xp)
+    for fc in (4, plan.frames_per_shard, 64):
+        got = sh.sharded_mel_encode_fn(mesh, plan, 24, w, frame_chunk=fc)(xp)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   atol=1e-5, rtol=1e-5)
+    pbase = sh.sharded_phase_encode_fn(mesh, plan, 96, frame_chunk=None)(xp)
+    pgot = sh.sharded_phase_encode_fn(mesh, plan, 96, frame_chunk=4)(xp)
+    np.testing.assert_allclose(np.asarray(pgot), np.asarray(pbase),
+                               atol=1e-5, rtol=1e-5)
