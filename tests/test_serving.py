@@ -275,3 +275,33 @@ def test_artifact_meta_via_cli(tmp_path):
     assert meta["kind"] == "mel-enc"
     assert meta["config"]["num_mels"] == MelConfig().num_mels
     assert meta["seconds"] == 0.2 and meta["sample_rate"] == 48000
+
+
+def test_longform_export_with_chunked_analysis(tmp_path):
+    """The auto-chunked (lax.map + dynamic_slice inside shard_map) encode
+    must still export and execute through jax.export."""
+    from gomel_tpu.parallel import sharded as sh
+    mesh = _longform_mesh()
+    cfg = MelConfig(num_mels=8, resolut=64, window=16)
+    n_frames = 4 * 3100
+    exp = serving.export_longform_mel_encoder(
+        cfg, mesh, n_frames=n_frames, batch=2, platforms=("cpu",))
+    plan = serving.longform_plan(cfg, mesh, n_frames)
+    assert plan.frames_per_shard >= 3072  # the chunked path was exported
+    x = _audio(2, plan.sharded_signal_len, seed=5)
+    got = serving.call_longform(serving.load_exported(
+        _save_load_path(tmp_path, exp)), mesh, x)
+    from gomel_tpu.core.filterbank import mel_weights
+    w = mel_weights(cfg.n_bins, cfg.num_mels, cfg.mel_fmin, cfg.mel_fmax)
+    # compare against the SAME baked backend (the builder pins "mxu";
+    # the live default "auto" resolves to the XLA FFT on this CPU host)
+    want = sh.sharded_mel_encode_fn(mesh, plan, cfg.num_mels, w,
+                                    fft_backend="mxu")(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def _save_load_path(tmp_path, exp):
+    p = str(tmp_path / "chunked.jaxexp")
+    serving.save_exported(exp, p)
+    return p

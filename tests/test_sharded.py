@@ -205,3 +205,22 @@ def test_sharded_encode_frame_chunked_matches_unchunked(mesh):
     pgot = sh.sharded_phase_encode_fn(mesh, plan, 96, frame_chunk=4)(xp)
     np.testing.assert_allclose(np.asarray(pgot), np.asarray(pbase),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_encode_auto_chunk_kicks_in_at_scale(mesh):
+    """At >=3072 frames per shard the auto policy chunks (ops/stft.py);
+    result must match the explicitly-unchunked builder."""
+    fl, hop = 64, 16
+    f = 4 * 3100  # 3100 frames/shard on the 4-shard frame axis
+    plan = sh.plan_frame_sharding(f, fl, hop, 4)
+    assert plan.frames_per_shard >= 3072
+    from gomel_tpu.ops.stft import auto_frame_chunk
+    assert auto_frame_chunk(plan.frames_per_shard) == 1024
+    x = _sig(plan.out_len, b=2, seed=21)
+    xp = sh.pad_signal_for_plan(jnp.asarray(x), plan)
+    w = mel_weights(fl // 2, 8, 0.0, 4000.0)
+    auto = sh.sharded_mel_encode_fn(mesh, plan, 8, w)(xp)          # chunked
+    flat = sh.sharded_mel_encode_fn(mesh, plan, 8, w,
+                                    frame_chunk=None)(xp)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(flat),
+                               atol=1e-5, rtol=1e-5)
