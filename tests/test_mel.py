@@ -168,3 +168,26 @@ def test_dumpbuffer_image_parity():
     v1 = np.trunc(255 * (spec[..., 1] - mn[1]) / (mx[1] - mn[1])).astype(np.uint16)
     expect = (v0 | (v1 << 8)).reshape(-1)
     np.testing.assert_array_equal(out, expect)
+
+
+def test_pipeline_encode_auto_chunk_matches_flat_kernel():
+    """Mel.encode auto-chunks past 3072 frames (ops/stft.auto_frame_chunk);
+    result must match the flat kernel on the same padded signal."""
+    import jax.numpy as jnp
+    from gomel_tpu.core.config import MelConfig
+    from gomel_tpu.core.framing import pad_length
+    from gomel_tpu.core.filterbank import mel_weights
+    from gomel_tpu.ops.mel_ops import mel_encode
+    from gomel_tpu.pipelines.mel import Mel
+
+    cfg = MelConfig(num_mels=8, resolut=64, window=16)
+    L = pad_length(64 + 3300 * 16, 16)
+    x = np.random.default_rng(31).standard_normal(L).astype(np.float32)
+    m = Mel(cfg)
+    got = np.asarray(m.encode(x))
+    assert got.shape[0] >= 3072  # the chunked path actually engaged
+    w = jnp.asarray(mel_weights(cfg.n_bins, cfg.num_mels, cfg.mel_fmin,
+                                cfg.mel_fmax), jnp.float32)
+    want = np.asarray(mel_encode(jnp.asarray(x), cfg.num_mels, cfg.resolut,
+                                 cfg.window, w))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
