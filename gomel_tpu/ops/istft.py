@@ -72,9 +72,72 @@ def window_sum(window: jax.Array, n_frames: int, hop: int) -> jax.Array:
     return out.reshape(-1)[: N + (F - 1) * hop]
 
 
+def chunked_irfft_overlap_add(re: jax.Array, im: jax.Array, hop: int,
+                              window_arr: jax.Array, chunk: int,
+                              fft_backend: str = "xla",
+                              frame_mask: jax.Array | None = None
+                              ) -> jax.Array:
+    """Un-normalized windowed overlap-add synthesis, ``lax.scan`` over frame
+    chunks: [F, N/2+1] planes -> [N + (F-1)*hop] signal.
+
+    The decode-side analog of ops/stft.map_frame_chunks: at hour-scale frame
+    counts the flat path's [F, N] irfft output spills to HBM; per-chunk
+    synthesis keeps it VMEM-resident. Chunks couple through the overlap-add
+    tail (N - hop samples), carried through the scan — numerically identical
+    to the flat kernel up to reduction order. Requires
+    ``chunk*hop >= N - hop`` so a tail never spans two chunk bodies.
+
+    ``frame_mask``: optional [F] bool — frames masked False contribute
+    nothing (the sharded decode's padded-frame mask).
+    """
+    F, bins = re.shape
+    N = (bins - 1) * 2
+    tail_len = N - hop
+    if chunk * hop < tail_len:
+        raise ValueError(f"chunk {chunk} too small: need chunk*hop >= "
+                         f"N - hop = {tail_len}")
+    n_chunks = -(-F // chunk)
+    pad = n_chunks * chunk - F
+    if pad:
+        re = jnp.pad(re, ((0, pad), (0, 0)))
+        im = jnp.pad(im, ((0, pad), (0, 0)))
+    if frame_mask is not None and pad:
+        frame_mask = jnp.pad(frame_mask, (0, pad))
+    reb = re.reshape(n_chunks, chunk, bins)
+    imb = im.reshape(n_chunks, chunk, bins)
+    mb = (frame_mask.reshape(n_chunks, chunk) if frame_mask is not None
+          else None)
+    backend = "xla" if fft_backend == "auto" else fft_backend
+    out_dtype = window_arr.dtype
+
+    def step(tail, inputs):
+        if mb is None:
+            r, i = inputs
+        else:
+            r, i, m = inputs
+        frames_w = irfft_planes(r, i, N, backend).astype(out_dtype) \
+            * window_arr
+        if mb is not None:
+            frames_w = jnp.where(m[:, None], frames_w, 0.0)
+        seg = overlap_add(frames_w, hop)  # [chunk*hop + N - hop]
+        body = seg[: chunk * hop].at[:tail_len].add(tail)
+        return seg[chunk * hop:], body
+
+    # derive the carry from the input (zero-multiplied) so its varying-axes
+    # type matches inside shard_map (a fresh zeros literal is unvarying and
+    # scan rejects the carry type mismatch)
+    init = jnp.zeros((tail_len,), dtype=out_dtype) \
+        + (re[0, 0] * 0).astype(out_dtype)
+    xs = (reb, imb) if mb is None else (reb, imb, mb)
+    tail, bodies = jax.lax.scan(step, init, xs)
+    sig = jnp.concatenate([bodies.reshape(-1), tail])
+    return sig[: N + (F - 1) * hop]
+
+
 def istft_direct_planes(re: jax.Array, im: jax.Array, hop: int,
                         window,
-                        fft_backend: str = "auto") -> jax.Array:
+                        fft_backend: str = "auto",
+                        frame_chunk: int | None = None) -> jax.Array:
     """Direct (0-iteration) iSTFT with window-sum normalization.
 
     (re, im): real/imag planes of the [F, N//2+1] rfft-layout spectrum.
@@ -93,7 +156,8 @@ def istft_direct_planes(re: jax.Array, im: jax.Array, hop: int,
     win where their trade fits: CT-HIGHEST for encode, mm-DEFAULT for the
     Griffin-Lim interior.) Pass fft_backend="mxu"/"mm" to force those.
 
-    ``window``: np.ndarray or device array.
+    ``window``: np.ndarray or device array. ``frame_chunk``: per-chunk
+    synthesis for hour-scale frame counts (chunked_irfft_overlap_add).
     """
     import numpy as _np
 
@@ -103,9 +167,13 @@ def istft_direct_planes(re: jax.Array, im: jax.Array, hop: int,
     window_arr = (jnp.asarray(window, dtype)
                   if isinstance(window, _np.ndarray) else window)
     backend = "xla" if fft_backend == "auto" else fft_backend
-    frames = irfft_planes(re, im, N, backend)
-    frames_w = frames.astype(window_arr.dtype) * window_arr
-    sig = overlap_add(frames_w, hop)
+    if frame_chunk:
+        sig = chunked_irfft_overlap_add(re, im, hop, window_arr,
+                                        frame_chunk, backend)
+    else:
+        frames = irfft_planes(re, im, N, backend)
+        frames_w = frames.astype(window_arr.dtype) * window_arr
+        sig = overlap_add(frames_w, hop)
     wsum = window_sum(window_arr, F, hop)
     threshold = 0.5 * jnp.max(wsum)
     return normalize_by_window_sum(sig, wsum, threshold)

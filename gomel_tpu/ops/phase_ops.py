@@ -109,12 +109,16 @@ def grow_half_planes(spec2: jax.Array, n_bins: int
 def phase_decode(spec2: jax.Array, frame_len: int, hop: int,
                  volume_boost: float = 0.0,
                  window: jax.Array | None = None,
-                 fft_backend: str = "auto") -> jax.Array:
+                 fft_backend: str = "auto",
+                 frame_chunk: int | None = None) -> jax.Array:
     """Phase spectrogram [F, num_freqs, 2] -> audio [N + (F-1)*hop].
 
     grow -> half-spectrum planes -> direct iSTFT with window-sum normalization
     -> optional volume boost (reference: phase/phase.go:136-153; boost applied
     when != 0, phase/phase.go:146 — note the port uses > 0, phase.py:216).
+
+    frame_chunk: per-chunk synthesis for hour-scale frame counts
+    (ops/istft.chunked_irfft_overlap_add; numerically identical).
     """
     if window is None:
         # host-side np; istft_direct_planes converts it on device and applies
@@ -122,7 +126,8 @@ def phase_decode(spec2: jax.Array, frame_len: int, hop: int,
         # Griffin-Lim interior path, ops/dft_mm.rfft_windowed)
         window = hann_window(frame_len)
     re, im = grow_half_planes(spec2, frame_len // 2)
-    sig = istft_direct_planes(re, im, hop, window, fft_backend)
+    sig = istft_direct_planes(re, im, hop, window, fft_backend,
+                              frame_chunk=frame_chunk)
     if volume_boost != 0.0:
         sig = sig * jnp.asarray(volume_boost, dtype=sig.dtype)
     return sig

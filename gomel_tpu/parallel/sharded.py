@@ -463,10 +463,16 @@ def sharded_phase_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_freqs: int,
 
 
 def sharded_phase_decode_fn(mesh: Mesh, plan: FrameShardPlan,
-                            volume_boost: float = 0.0, dtype=jnp.float32):
+                            volume_boost: float = 0.0, dtype=jnp.float32,
+                            frame_chunk="auto"):
     """[B, F_pad, num_freqs, 2] -> [B, F_pad*hop] audio
-    (parity: /root/reference/phase/phase.go:136-153)."""
+    (parity: /root/reference/phase/phase.go:136-153). ``frame_chunk``:
+    per-chunk synthesis once a shard's frames outgrow VMEM
+    (ops/istft.chunked_irfft_overlap_add)."""
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
+    fc = (auto_frame_chunk(plan.frames_per_shard)
+          if frame_chunk == "auto" else frame_chunk)
+    from ..ops.istft import chunked_irfft_overlap_add
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -477,10 +483,18 @@ def sharded_phase_decode_fn(mesh: Mesh, plan: FrameShardPlan,
                                  FRAME_AXIS)
         re, im = jax.vmap(
             lambda s: grow_half_planes(s, plan.frame_len // 2))(spec2)
-        frames_w = _local_irfft_windowed(re, im, hann_window(plan.frame_len),
-                                         plan, window.dtype)
-        frames_w = jnp.where(mask[None, :, None], frames_w, 0.0)
-        sig = _local_overlap_add(frames_w, plan)
+        if fc:
+            sig_ext = jax.vmap(lambda r, i: chunked_irfft_overlap_add(
+                r, i, plan.hop, window, fc, "xla", frame_mask=mask))(re, im)
+            body = sig_ext[..., : plan.chunk]
+            recv = _push_tail_right(sig_ext[..., plan.chunk:],
+                                    plan.n_shards, FRAME_AXIS)
+            sig = body.at[..., : plan.halo].add(recv)
+        else:
+            frames_w = _local_irfft_windowed(
+                re, im, hann_window(plan.frame_len), plan, window.dtype)
+            frames_w = jnp.where(mask[None, :, None], frames_w, 0.0)
+            sig = _local_overlap_add(frames_w, plan)
         wsum = _local_window_sum(window, mask, plan)
         global_max = jax.lax.pmax(jnp.max(wsum), FRAME_AXIS)
         out = normalize_by_window_sum(sig, wsum[None, :], 0.5 * global_max)

@@ -43,10 +43,12 @@ def _encode_jit(x, window, num_freqs, frame_len, hop, frame_chunk=None):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("frame_len", "hop", "volume_boost"))
-def _decode_jit(spec2, frame_len, hop, volume_boost):
+                   static_argnames=("frame_len", "hop", "volume_boost",
+                                    "frame_chunk"))
+def _decode_jit(spec2, frame_len, hop, volume_boost, frame_chunk=None):
     # window=None -> Hann, folded into the mm-path DFT weights on TPU
-    return phase_decode(spec2, frame_len, hop, volume_boost, None)
+    return phase_decode(spec2, frame_len, hop, volume_boost, None,
+                        frame_chunk=frame_chunk)
 
 
 class Phase:
@@ -104,8 +106,9 @@ class Phase:
         """Phase spectrogram [F, num_freqs, 2] -> audio (device array)."""
         c = self.config
         spec2 = jnp.asarray(spec2, dtype=self.dtype)
+        fc = auto_frame_chunk(spec2.shape[0])  # hour-scale: chunked synthesis
         return _decode_jit(spec2, c.resolut, c.window,
-                           float(c.volume_boost))
+                           float(c.volume_boost), frame_chunk=fc)
 
     # -- reference-layout API --------------------------------------------------
     def to_phase(self, buf) -> np.ndarray:

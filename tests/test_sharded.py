@@ -224,3 +224,17 @@ def test_sharded_encode_auto_chunk_kicks_in_at_scale(mesh):
                                     frame_chunk=None)(xp)
     np.testing.assert_allclose(np.asarray(auto), np.asarray(flat),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_phase_decode_frame_chunked_matches_unchunked(mesh):
+    L = FRAME_LEN + 41 * HOP
+    NUM_FREQS = 96
+    x = _sig(L, seed=6)
+    plan = _plan_for(L)
+    xp = sh.pad_signal_for_plan(jnp.asarray(x), plan)
+    enc = sh.sharded_phase_encode_fn(mesh, plan, NUM_FREQS)(xp)
+    base = sh.sharded_phase_decode_fn(mesh, plan, frame_chunk=None)(enc)
+    for fc in (4, plan.frames_per_shard, 64):
+        got = sh.sharded_phase_decode_fn(mesh, plan, frame_chunk=fc)(enc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   atol=1e-4, rtol=1e-4)

@@ -123,3 +123,43 @@ def test_auto_frame_chunk_policy():
     assert auto_frame_chunk(1122) is None     # serving shape: no chunking
     assert auto_frame_chunk(3072) == 1024     # long-form: chunked
     assert auto_frame_chunk(67497) == 1024
+
+
+def test_chunked_synthesis_matches_flat():
+    """chunked_irfft_overlap_add (scan with tail carry) must match the flat
+    irfft+overlap_add synthesis to float ulps, with and without a frame
+    mask."""
+    import jax
+    import jax.numpy as jnp
+    from gomel_tpu.ops.istft import (chunked_irfft_overlap_add, overlap_add,
+                                     istft_direct_planes)
+    from gomel_tpu.ops.fftbackend import irfft_planes
+    from gomel_tpu.ops.stft import hann_window
+
+    fl, hop, F = 256, 64, 53
+    rng = np.random.default_rng(4)
+    re = jnp.asarray(rng.standard_normal((F, fl // 2 + 1)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((F, fl // 2 + 1)), jnp.float32)
+    win = jnp.asarray(hann_window(fl), jnp.float32)
+    flat = np.asarray(overlap_add(
+        irfft_planes(re, im, fl, "xla").astype(jnp.float32) * win, hop))
+    for chunk in (7, 16, 53, 200):
+        got = np.asarray(chunked_irfft_overlap_add(re, im, hop, win, chunk))
+        np.testing.assert_allclose(got, flat, rtol=2e-5, atol=2e-5), chunk
+    # masked frames contribute nothing
+    mask = jnp.asarray(rng.random(F) > 0.3)
+    masked_flat = np.asarray(overlap_add(
+        jnp.where(mask[:, None],
+                  irfft_planes(re, im, fl, "xla").astype(jnp.float32) * win,
+                  0.0), hop))
+    got = np.asarray(chunked_irfft_overlap_add(re, im, hop, win, 16,
+                                               frame_mask=mask))
+    np.testing.assert_allclose(got, masked_flat, rtol=2e-5, atol=2e-5)
+    # full direct iSTFT wrapper parity
+    a = np.asarray(istft_direct_planes(re, im, hop, win))
+    b = np.asarray(istft_direct_planes(re, im, hop, win, frame_chunk=16))
+    np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)
+    # too-small chunk is rejected (tail would span two bodies)
+    import pytest
+    with pytest.raises(ValueError, match="too small"):
+        chunked_irfft_overlap_add(re, im, hop, win, 1)
