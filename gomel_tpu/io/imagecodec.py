@@ -181,10 +181,16 @@ def _detect_phase_layout(img: np.ndarray) -> str:
     channel maximum hiding under the metadata bytes), fall back to the block
     structure: bytes 0:4 of the Go window hold float16 max0/max1 (nonzero
     unless both maxima are exactly 0), while for py those rows are data
-    (blue 0). The last tiebreak (e.g. a 16-row single-frame silent image,
-    which is 100% metadata and byte-ambiguous) is the container itself: Go
-    writes NRGBA/NRGBA64 (4 channels, phase/impl.go:191-196) while the port
-    writes RGB (phase.py:716-737).
+    (blue 0).
+
+    The residual ambiguity defaults to "py" — and is HARMLESS: reaching it
+    requires every max/min float16 to be zero in both interpretations, and
+    the go block's [samples, sr] bytes sit at the SAME absolute rows
+    (nf-4..nf) as py's (go offsets 12:16 of a 16-byte block == py offsets
+    8:12 of a 12-byte block), so both interpretations decode the identical
+    all-zero spectrogram with identical samples/sr
+    (tests/test_untrusted_images.py::test_layout_autodetect_fuzz asserts
+    load-level equivalence for this family).
     """
     nf = img.shape[0]
     if nf < GO_PHASE_META_BYTES:
@@ -197,7 +203,7 @@ def _detect_phase_layout(img: np.ndarray) -> str:
         blue = blue & 0xFF
     if np.any(blue[:4]):  # go's max0/max1 float16 bytes
         return "go"
-    return "go" if img.shape[2] == 4 else "py"
+    return "py"
 
 
 def load_phase_image(path: str, y_reverse: bool, ihs_passes: int = 0,

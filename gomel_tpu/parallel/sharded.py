@@ -40,7 +40,8 @@ from jax import shard_map
 
 from ..ops.stft import auto_frame_chunk, frame_signal, hann_window
 from ..ops.fftbackend import irfft_planes, rfft_planes
-from ..ops.istft import overlap_add, normalize_by_window_sum
+from ..ops.istft import (chunked_irfft_overlap_add, normalize_by_window_sum,
+                         overlap_add)
 from ..ops.griffinlim import griffin_lim_magnitudes
 from ..ops.mel_ops import mel_encode, spectral_normalize, mel_to_linear
 from ..ops.phase_ops import grow_half_planes, phase_encode
@@ -160,21 +161,27 @@ def _local_frame_mask(f_loc: int, n_frames: int, axis_name: str) -> jax.Array:
 # Shard-local kernels (operate on one device's [B_loc, ...] block)
 # ---------------------------------------------------------------------------
 
+def _local_signal_ext(x_loc, plan: FrameShardPlan):
+    """[B, chunk] local signal -> [B, chunk + halo] with the right
+    neighbor's head pulled in — the extended signal every analysis path
+    frames from (single definition of the halo protocol)."""
+    halo = _pull_right_halo(x_loc, plan.halo, plan.n_shards, FRAME_AXIS)
+    return jnp.concatenate([x_loc, halo], axis=-1)
+
+
 def _local_frames(x_loc, window, plan: FrameShardPlan):
     """[B, chunk] local signal -> [B, F_loc, N] windowed frames (halo pull)."""
-    halo = _pull_right_halo(x_loc, plan.halo, plan.n_shards, FRAME_AXIS)
-    x_ext = jnp.concatenate([x_loc, halo], axis=-1)
     frames = jax.vmap(
-        lambda s: frame_signal(s, plan.frame_len, plan.hop))(x_ext)
+        lambda s: frame_signal(s, plan.frame_len, plan.hop))(
+        _local_signal_ext(x_loc, plan))
     return frames * window
 
 
 def _local_frames_raw(x_loc, plan: FrameShardPlan):
     """[B, chunk] -> [B, F_loc, N] UNwindowed frames (window folded into the
     mm DFT weights by the caller)."""
-    halo = _pull_right_halo(x_loc, plan.halo, plan.n_shards, FRAME_AXIS)
-    x_ext = jnp.concatenate([x_loc, halo], axis=-1)
-    return jax.vmap(lambda s: frame_signal(s, plan.frame_len, plan.hop))(x_ext)
+    return jax.vmap(lambda s: frame_signal(s, plan.frame_len, plan.hop))(
+        _local_signal_ext(x_loc, plan))
 
 
 def _local_stft_planes(x_loc, window, plan: FrameShardPlan,
@@ -450,8 +457,7 @@ def sharded_phase_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_freqs: int,
         out_specs=P(DATA_AXIS, FRAME_AXIS, None, None))
     def _fn(x):
         if fc:
-            halo = _pull_right_halo(x, plan.halo, plan.n_shards, FRAME_AXIS)
-            x_ext = jnp.concatenate([x, halo], axis=-1)
+            x_ext = _local_signal_ext(x, plan)
             return jax.vmap(lambda s: phase_encode(
                 s, num_freqs, plan.frame_len, plan.hop, window,
                 fft_backend, frame_chunk=fc))(x_ext)
@@ -472,7 +478,6 @@ def sharded_phase_decode_fn(mesh: Mesh, plan: FrameShardPlan,
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
     fc = (auto_frame_chunk(plan.frames_per_shard)
           if frame_chunk == "auto" else frame_chunk)
-    from ..ops.istft import chunked_irfft_overlap_add
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -525,8 +530,7 @@ def sharded_mel_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_mels: int,
         out_specs=P(DATA_AXIS, FRAME_AXIS, None, None))
     def _fn(x, w):
         if fc:
-            halo = _pull_right_halo(x, plan.halo, plan.n_shards, FRAME_AXIS)
-            x_ext = jnp.concatenate([x, halo], axis=-1)
+            x_ext = _local_signal_ext(x, plan)
             return jax.vmap(lambda s: mel_encode(
                 s, num_mels, plan.frame_len, plan.hop, w, window,
                 fft_backend, frame_chunk=fc))(x_ext)

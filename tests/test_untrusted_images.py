@@ -224,9 +224,12 @@ from hypothesis import given, settings, strategies as st, HealthCheck
        layout=st.sampled_from(["go", "py"]),
        kind=st.sampled_from(["normal", "silent", "click0", "negative"]))
 def test_layout_autodetect_fuzz(tmp_path, seed, frames, nf, layout, kind):
-    """Auto-detection must pick the writing layout for arbitrary content —
+    """Auto-detection must round-trip correctly for arbitrary content —
     including the degenerate families that defeated earlier heuristics
-    (silence, click-at-t0, all-negative)."""
+    (silence, click-at-t0, all-negative). The assertion is LOAD-level: in
+    the one genuinely byte-ambiguous family (100%-metadata silent images)
+    both layout interpretations decode identically, so the label itself is
+    immaterial there (see imagecodec._detect_phase_layout)."""
     rng = np.random.default_rng(seed)
     if kind == "normal":
         spec = rng.standard_normal((frames, nf, 2))
@@ -241,6 +244,11 @@ def test_layout_autodetect_fuzz(tmp_path, seed, frames, nf, layout, kind):
     imagecodec.save_phase_image(p, spec, y_reverse=True,
                                 samples_in_mel=7.0, sample_rate=48000.0,
                                 layout=layout)
-    img = imagecodec.read_png(p)
-    img = imagecodec._at_least_rgb(img)[::-1, :, :]
-    assert imagecodec._detect_phase_layout(img) == layout
+    got, samples, sr, got_nf = imagecodec.load_phase_image(
+        p, y_reverse=True, layout="auto")
+    want, wsamples, wsr, wnf = imagecodec.load_phase_image(
+        p, y_reverse=True, layout=layout)
+    assert got_nf == wnf == nf
+    assert sr == wsr == 48000.0
+    assert samples == wsamples
+    np.testing.assert_array_equal(got, want)
