@@ -44,8 +44,12 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
             break
     if fmt is None or payload is None:
         raise ValueError(f"missing fmt/data chunk: {path!r}")
+    if len(fmt) < 16:
+        raise ValueError(f"truncated fmt chunk ({len(fmt)} bytes): {path!r}")
     (audio_format, channels, rate, _byte_rate, _block_align,
      bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+    if channels == 0:
+        raise ValueError(f"corrupt WAV: zero channels: {path!r}")
     if audio_format == _EXTENSIBLE:
         if len(fmt) >= 26:
             audio_format = struct.unpack_from("<H", fmt, 24)[0]
@@ -53,13 +57,16 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
             raise ValueError("malformed WAVE_FORMAT_EXTENSIBLE fmt chunk")
 
     if audio_format == _FLOAT:
+        if bits not in (32, 64):
+            raise ValueError(f"unsupported float WAV bit depth {bits}")
         dtype = np.float32 if bits == 32 else np.float64
+        payload = payload[: len(payload) - len(payload) % (bits // 8)]
         arr = np.frombuffer(payload, dtype="<" + np.dtype(dtype).char)
     elif audio_format == _PCM:
         if bits == 8:
             arr = np.frombuffer(payload, dtype=np.uint8)
         elif bits == 16:
-            arr = np.frombuffer(payload, dtype="<i2")
+            arr = np.frombuffer(payload[: len(payload) & ~1], dtype="<i2")
         elif bits == 24:
             raw = np.frombuffer(payload, dtype=np.uint8)
             raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3)
@@ -68,7 +75,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
                    | (raw[:, 1].astype(np.uint32) << 16)
                    | (raw[:, 2].astype(np.uint32) << 24)).astype(np.int32)
         elif bits == 32:
-            arr = np.frombuffer(payload, dtype="<i4")
+            arr = np.frombuffer(payload[: len(payload) & ~3], dtype="<i4")
         else:
             raise ValueError(f"unsupported PCM bit depth {bits}")
     else:

@@ -252,3 +252,53 @@ def test_layout_autodetect_fuzz(tmp_path, seed, frames, nf, layout, kind):
     assert sr == wsr == 48000.0
     assert samples == wsamples
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# WAV reader: same untrusted-input contract as the PNG/FLAC readers
+# ---------------------------------------------------------------------------
+
+def test_read_wav_garbage_fuzz(tmp_path):
+    """Random garbage (with/without a RIFF header) must fail with ValueError
+    — never struct.error or a crash."""
+    from gomel_tpu.io.wavcodec import read_wav
+    rng = np.random.default_rng(7)
+    for i in range(40):
+        blob = rng.integers(0, 256, rng.integers(4, 300), dtype=np.uint8
+                            ).tobytes()
+        if i % 3 == 0:
+            blob = b"RIFF" + blob[:4] + b"WAVE" + blob
+        p = _write(tmp_path / f"wf{i}.wav", blob)
+        try:
+            read_wav(p)  # a lucky valid-enough file is fine...
+        except ValueError:
+            pass         # ...and the only acceptable failure is ValueError
+
+
+def test_read_wav_truncated_fmt_and_zero_channels(tmp_path):
+    from gomel_tpu.io.wavcodec import read_wav
+    # truncated fmt chunk (8 bytes < 16)
+    fmt8 = b"RIFF\x28\x00\x00\x00WAVE" + b"fmt " + struct.pack("<I", 8) \
+        + b"\x01\x00\x01\x00\x40\x1f\x00\x00" + b"data" + struct.pack("<I", 0)
+    p = _write(tmp_path / "shortfmt.wav", fmt8)
+    with pytest.raises(ValueError, match="truncated fmt"):
+        read_wav(p)
+    # zero channels
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 16000, 2, 16)
+    blob = (b"RIFF\x30\x00\x00\x00WAVE" + b"fmt "
+            + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
+    p = _write(tmp_path / "zeroch.wav", blob)
+    with pytest.raises(ValueError, match="zero channels"):
+        read_wav(p)
+
+
+def test_read_wav_odd_payload_truncates_cleanly(tmp_path):
+    from gomel_tpu.io.wavcodec import read_wav
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    blob = (b"RIFF\x30\x00\x00\x00WAVE" + b"fmt "
+            + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 5) + b"\x01\x00\x02\x00\x03")
+    p = _write(tmp_path / "odd.wav", blob)
+    arr, sr = read_wav(p)
+    assert sr == 8000 and list(arr) == [1, 2]
