@@ -377,6 +377,39 @@ def _complete_checkpoints(ckpt_dir: str) -> list[int]:
     return sorted(out)
 
 
+def prune_gl_checkpoints(ckpt_dir: str, keep_last: int = 2) -> None:
+    """Drop old checkpoint iterations, keeping the newest ``keep_last``
+    COMPLETE ones (per this process's view). Single-process runs remove
+    whole directories; multi-process runs drop their own completeness
+    marker first, then shard files. Call it from the decode_resumable
+    callback right after a successful save — on a SHARED filesystem every
+    process must prune at the same point so no process's marker outlives
+    the shard files (a stale marker only makes a later load fail loudly
+    with a missing-file error, never reassemble wrong data — stamps are
+    validated)."""
+    import os
+    import shutil
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    done_list = _complete_checkpoints(ckpt_dir)
+    for done in done_list[:-keep_last]:
+        sub = os.path.join(ckpt_dir, f"iter_{done:08d}")
+        if jax.process_count() == 1:
+            shutil.rmtree(sub, ignore_errors=True)
+            continue
+        pid = jax.process_index()
+        try:
+            os.remove(os.path.join(sub, f"COMPLETE.p{pid}"))
+        except FileNotFoundError:
+            pass
+        for name in os.listdir(sub):
+            if name.startswith("shard_"):
+                try:
+                    os.remove(os.path.join(sub, name))
+                except FileNotFoundError:
+                    pass  # another process's shard or already gone
+
+
 def load_gl_checkpoint_sharded(ckpt_dir: str, mesh: Mesh,
                                done: int | None = None
                                ) -> tuple[int, jax.Array]:

@@ -337,6 +337,10 @@ def call_longform(exp: jax_export.Exported, mesh, *args) -> jax.Array:
     if len(mesh.devices.flatten()) != exp.nr_devices:
         raise ValueError(f"artifact was exported for {exp.nr_devices} "
                          f"devices; mesh has {mesh.devices.size}")
+    if len(args) != len(exp.in_avals):
+        raise ValueError(f"artifact takes {len(exp.in_avals)} inputs "
+                         f"{[tuple(a.shape) for a in exp.in_avals]}, "
+                         f"got {len(args)}")
     sharded = []
     for aval, a in zip(exp.in_avals, args):
         if aval.ndim >= 3:

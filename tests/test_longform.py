@@ -239,3 +239,36 @@ def test_sharded_checkpoint_partial_save_is_skipped(mesh, tmp_path):
     # explicit done pointing at the incomplete dir fails loudly, not wrongly
     with pytest.raises((ValueError, FileNotFoundError)):
         load_gl_checkpoint_sharded(ckpt, mesh, done=6)
+
+
+def test_prune_gl_checkpoints(mesh, tmp_path):
+    import os
+    from gomel_tpu.pipelines.longform import (load_gl_checkpoint_sharded,
+                                              prune_gl_checkpoints,
+                                              save_gl_checkpoint_sharded)
+    cfg = MelConfig(num_mels=24, griffin_lim_iterations=8, **CFG)
+    lf = LongFormMel(cfg, mesh)
+    x = np.random.default_rng(15).standard_normal((2, 4000)).astype(np.float32)
+    logmel = lf.encode(x)
+    ckpt = str(tmp_path / "glckpt")
+    lf.decode_resumable(
+        logmel, seed=0, segment_iters=2,
+        callback=lambda d, c: (save_gl_checkpoint_sharded(ckpt, d, c),
+                               prune_gl_checkpoints(ckpt, keep_last=2)))
+    dirs = sorted(n for n in os.listdir(ckpt) if n.startswith("iter_"))
+    assert dirs == ["iter_00000006", "iter_00000008"]
+    done, carry = load_gl_checkpoint_sharded(ckpt, mesh)
+    assert done == 8
+    with pytest.raises(ValueError):
+        prune_gl_checkpoints(ckpt, keep_last=0)
+
+
+def test_call_longform_wrong_arity():
+    from gomel_tpu import serving
+    from gomel_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(data=2, frame=4)
+    cfg = MelConfig(num_mels=24, **CFG)
+    exp = serving.export_longform_mel_decoder(cfg, mesh, n_frames=20,
+                                              batch=2, platforms=("cpu",))
+    with pytest.raises(ValueError, match="takes 2 inputs"):
+        serving.call_longform(exp, mesh, np.zeros((2, 3, 24, 2), np.float32))
