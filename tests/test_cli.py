@@ -238,3 +238,18 @@ def test_save_wav_stereo_go_layout(tmp_path):
     np.testing.assert_array_equal(raw[:, 0], raw[:, 1])
     mono, _ = load_wav(p, mono="left")
     np.testing.assert_allclose(mono, np.clip(x, -1, 1), atol=1 / 32768)
+
+
+def test_tophase_fromphase_hdr_roundtrip(wav_file, tmp_path):
+    """16-bit HDR phase PNG via the CLI: --hdr write + read back."""
+    png = str(tmp_path / "hdr.png")
+    wav = str(tmp_path / "hdr.wav")
+    assert tools.tophase([wav_file, "-o", png, "--hdr"]) == 0
+    from gomel_tpu.io.pngcodec import read_png
+    assert read_png(png).dtype == np.uint16  # really 16-bit
+    assert tools.fromphase([png, "-o", wav, "--hdr"]) == 0
+    rec, _ = load_wav(wav)
+    orig, _ = load_wav(wav_file)
+    n = min(len(rec), len(orig))
+    corr = np.corrcoef(orig[4096:n - 4096], rec[4096:n - 4096])[0, 1]
+    assert corr > 0.99
