@@ -17,6 +17,13 @@ single-block streams below that get the exact per-length threshold instead
 (tests/test_streaming.py::test_short_stream_threshold_boundary).
 
 Parity targets: phase/phase.go:41-153 buffer semantics, chunked.
+
+Relation to the round-3 ``frame_chunk`` kernels (ops/stft.py, ops/istft.py):
+those chunk INSIDE one device dispatch for throughput (whole signal in HBM,
+per-chunk intermediates VMEM-resident); this module chunks at the HOST
+boundary for O(chunk) total memory — pick streaming when the audio doesn't
+fit device memory at all, frame_chunk (automatic in Mel/Phase/LongForm*)
+when it does.
 """
 from __future__ import annotations
 
