@@ -65,7 +65,7 @@ def main() -> None:
     from gomel_tpu.core.config import MelConfig, PhaseConfig
     from gomel_tpu.core.filterbank import inverse_mel_weights, mel_weights
     from gomel_tpu.core.framing import pad_length
-    from gomel_tpu.ops.mel_ops import mel_decode, mel_encode
+    from gomel_tpu.ops.mel_ops import mel_decode, mel_encode_batch
     from gomel_tpu.ops.phase_ops import phase_decode, phase_encode
     from gomel_tpu.ops.stft import hann_window
 
@@ -91,11 +91,12 @@ def main() -> None:
         dtype=jnp.float32)
     window = jnp.asarray(hann_window(cfg.resolut), dtype=jnp.float32)
 
+    # batch-explicit encode: ~15-20% over jit(vmap(mel_encode)) on v5e
+    # (ops/mel_ops.mel_encode_batch; benchmarks/exp_shardmap_ab2.py)
     @jax.jit
     def step(xb):
-        return jax.vmap(
-            lambda x: mel_encode(x, cfg.num_mels, cfg.resolut, cfg.window,
-                                 fwd, window))(xb)
+        return mel_encode_batch(xb, cfg.num_mels, cfg.resolut, cfg.window,
+                                fwd, window)
 
     rng = np.random.default_rng(0)
     xbs = [jax.device_put(

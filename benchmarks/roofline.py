@@ -121,7 +121,7 @@ def main() -> None:
     from gomel_tpu.core.config import MelConfig, PhaseConfig
     from gomel_tpu.core.filterbank import inverse_mel_weights, mel_weights
     from gomel_tpu.core.framing import pad_length
-    from gomel_tpu.ops.mel_ops import mel_decode, mel_encode
+    from gomel_tpu.ops.mel_ops import mel_decode, mel_encode_batch
     from gomel_tpu.ops.phase_ops import phase_decode, phase_encode
     from gomel_tpu.ops.stft import hann_window
 
@@ -145,9 +145,8 @@ def main() -> None:
                                   cfg.mel_fmax), jnp.float32)
     window = jnp.asarray(hann_window(cfg.resolut), jnp.float32)
 
-    step = jax.jit(lambda xb: jax.vmap(
-        lambda x: mel_encode(x, cfg.num_mels, cfg.resolut, cfg.window,
-                             fwd, window))(xb))
+    step = jax.jit(lambda xb: mel_encode_batch(
+        xb, cfg.num_mels, cfg.resolut, cfg.window, fwd, window))
     rng = np.random.default_rng(0)
     xbs = [jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
            for _ in range(2)]

@@ -44,7 +44,8 @@ def mel_encode(x_padded: jax.Array, num_mels: int, frame_len: int, hop: int,
     fwd_weights: [num_mels, N/2] filterbank matrix (core.filterbank.mel_weights).
     fft_backend: "auto" picks the MXU-matmul FFT on TPU (ops/mxu_fft.py).
     frame_chunk: process the frames in ``lax.map`` chunks of this size —
-    numerically identical output (float-ulp reduction-order differences), ~1.7x faster at hour-scale shapes whose [F, N]
+    numerically identical output (float-ulp reduction-order differences),
+    ~2x faster at hour-scale shapes whose [F, N]
     intermediates would spill to HBM (ops/stft.py map_frame_chunks /
     auto_frame_chunk; measured in benchmarks/exp_longform_chunked.py).
     """
@@ -57,11 +58,44 @@ def mel_encode(x_padded: jax.Array, num_mels: int, frame_len: int, hop: int,
                                    fwd_weights, window, fft_backend))
     frames = frame_signal(x_padded, frame_len, hop)
     mags = rfft_mag(frames * window, frame_len, fft_backend)  # [F, N/2+1]
-    ch = jnp.stack([mags[:, :-1], mags[:, 1:]], axis=-1)  # [F, N/2, 2]
-    # One MXU matmul for both channels: [F, N/2, 2] x [num_mels, N/2]
-    mel = jnp.einsum("fbc,mb->fmc", ch, fwd_weights.astype(ch.dtype),
+    return _mel_from_mags(mags, fwd_weights)
+
+
+def _mel_from_mags(mags: jax.Array, fwd_weights: jax.Array) -> jax.Array:
+    """|rfft| [..., N/2+1] -> log-mel [..., num_mels, 2] (channel pair =
+    adjacent-bin magnitudes, filterbank as one MXU matmul)."""
+    ch = jnp.stack([mags[..., :-1], mags[..., 1:]], axis=-1)  # [.., N/2, 2]
+    mel = jnp.einsum("...bc,mb->...mc", ch, fwd_weights.astype(ch.dtype),
                      preferred_element_type=ch.dtype)
     return spectral_normalize(mel)
+
+
+def mel_encode_batch(xb: jax.Array, num_mels: int, frame_len: int, hop: int,
+                     fwd_weights: jax.Array,
+                     window: jax.Array | None = None,
+                     fft_backend: str = "auto",
+                     frame_chunk: int | None = None) -> jax.Array:
+    """Batched audio [B, L] -> log-mel [B, F, num_mels, 2].
+
+    Same numerics as ``jax.vmap(mel_encode)`` but written batch-explicitly —
+    one rfft over the whole [B, F, N] frame block and one einsum — which XLA
+    compiles ~15-20% faster than the vmap-of-the-whole-codec program at the
+    batch-2 serving shape on v5e (interleaved A/B,
+    benchmarks/exp_shardmap_ab2.py: median 83k vs 68k a-s/s). The filterbank
+    weights must be a compile-time constant for the win (the arg-passed
+    variant C measured ~70k).
+    """
+    if window is None:
+        window = jnp.asarray(hann_window(frame_len), dtype=xb.dtype)
+    if frame_chunk:
+        # hour-scale rows: the per-signal lax.map chunking dominates any
+        # batching-form difference (ops/stft.map_frame_chunks)
+        return jax.vmap(lambda x: mel_encode(
+            x, num_mels, frame_len, hop, fwd_weights, window, fft_backend,
+            frame_chunk=frame_chunk))(xb)
+    frames = jax.vmap(lambda s: frame_signal(s, frame_len, hop))(xb)
+    mags = rfft_mag(frames * window, frame_len, fft_backend)
+    return _mel_from_mags(mags, fwd_weights)
 
 
 def mel_to_linear(logmel: jax.Array, inv_weights: jax.Array,

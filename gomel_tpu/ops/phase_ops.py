@@ -52,6 +52,32 @@ def phase_encode(x_padded: jax.Array, num_freqs: int, frame_len: int, hop: int,
                      axis=-1)
 
 
+def phase_encode_batch(xb: jax.Array, num_freqs: int, frame_len: int,
+                       hop: int, window: jax.Array | None = None,
+                       fft_backend: str = "auto",
+                       frame_chunk: int | None = None) -> jax.Array:
+    """Batched audio [B, L] -> phase spectrogram [B, F, num_freqs, 2].
+
+    Batch-explicit form of ``jax.vmap(phase_encode)`` — identical numerics.
+    Unlike the mel encoder (ops/mel_ops.mel_encode_batch, a measured
+    ~15-20% win), the phase tail is slice+stack with no filterbank matmul
+    and the interleaved A/B measured PAR/no win for this form
+    (benchmarks/exp_phase_batch_ab.py: vmap median 79.8k vs 76.7k a-s/s,
+    inside the shared-chip noise band) — so the hot call sites keep
+    ``jax.vmap(phase_encode)`` and this exists for API symmetry.
+    """
+    if window is None:
+        window = jnp.asarray(hann_window(frame_len), dtype=xb.dtype)
+    if frame_chunk:
+        return jax.vmap(lambda x: phase_encode(
+            x, num_freqs, frame_len, hop, window, fft_backend,
+            frame_chunk=frame_chunk))(xb)
+    frames = jax.vmap(lambda s: frame_signal(s, frame_len, hop))(xb)
+    re, im = rfft_planes(frames * window, frame_len, fft_backend)
+    return jnp.stack([im[..., 1:num_freqs + 1], re[..., 1:num_freqs + 1]],
+                     axis=-1)
+
+
 def grow_half_spectrum(spec2: jax.Array, n_bins: int) -> jax.Array:
     """``grow`` + complex reconstruction, fused, in rfft layout.
 

@@ -80,8 +80,8 @@ def auto_frame_chunk(n_frames: int, threshold: int = 3072,
     serving shape the [F, frame_len] intermediates are VMEM-resident and
     chunking only adds loop overhead; past a few thousand frames they spill
     to HBM and a ``lax.map`` over fixed chunks restores VMEM residency —
-    measured 1.7x at the 30-minute shape, flat across chunk sizes 256-2048
-    (benchmarks/exp_longform_chunked.py, RESULTS.md "Hour-scale")."""
+    measured 2.03x at the 30-minute shape with chunk 1024 (1.9-2.0x across
+    256-2048; benchmarks/exp_longform_chunked.py, RESULTS.md)."""
     return chunk if n_frames >= threshold else None
 
 

@@ -29,8 +29,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.config import MelConfig, PhaseConfig
 from ..core.framing import pad_length
 from ..core.filterbank import mel_weights, inverse_mel_weights
-from ..ops.mel_ops import mel_encode, mel_decode
-from ..ops.phase_ops import phase_encode, phase_decode
+from ..ops.mel_ops import mel_decode, mel_encode_batch
+from ..ops.phase_ops import phase_decode, phase_encode
 from ..ops.stft import hann_window
 from .mesh import (DATA_AXIS, host_to_global, local_rows_to_global,
                    process_local_batch_multiple)
@@ -235,9 +235,11 @@ class BatchedMel(_BatchedBase):
             inverse_mel_weights(c.n_bins, c.num_mels, c.mel_fmin, c.mel_fmax),
             dtype)
         self._window = jnp.asarray(hann_window(c.resolut), dtype)
-        self._encode = jax.jit(jax.vmap(
-            lambda x: mel_encode(x, c.num_mels, c.resolut, c.window,
-                                 self._fwd, self._window)))
+        # batch-explicit encode: ~15-20% over jit(vmap(mel_encode)) on v5e
+        # (ops/mel_ops.mel_encode_batch; benchmarks/exp_shardmap_ab2.py)
+        self._encode = jax.jit(
+            lambda xb: mel_encode_batch(xb, c.num_mels, c.resolut, c.window,
+                                        self._fwd, self._window))
         self._decode = jax.jit(jax.vmap(
             lambda m, k: mel_decode(m, c.resolut, c.window, self._inv,
                                     c.griffin_lim_iterations, k,
@@ -276,6 +278,8 @@ class BatchedPhase(_BatchedBase):
         self.config = config or PhaseConfig()
         c = self.config
         self._window = jnp.asarray(hann_window(c.resolut), dtype)
+        # vmap form kept: the batch-explicit phase encoder measured par
+        # (benchmarks/exp_phase_batch_ab.py) — no matmul tail to fuse
         self._encode = jax.jit(jax.vmap(
             lambda x: phase_encode(x, c.num_freqs, c.resolut, c.window,
                                    self._window)))

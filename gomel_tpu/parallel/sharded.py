@@ -43,7 +43,7 @@ from ..ops.fftbackend import irfft_planes, rfft_planes
 from ..ops.istft import (chunked_irfft_overlap_add, normalize_by_window_sum,
                          overlap_add)
 from ..ops.griffinlim import griffin_lim_magnitudes
-from ..ops.mel_ops import mel_encode, spectral_normalize, mel_to_linear
+from ..ops.mel_ops import _mel_from_mags, mel_encode, mel_to_linear
 from ..ops.phase_ops import grow_half_planes, phase_encode
 from .mesh import DATA_AXIS, FRAME_AXIS
 
@@ -519,7 +519,7 @@ def sharded_mel_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_mels: int,
     small and lives on every chip. jax.export callers must pass an explicit
     ``fft_backend`` ("auto" is resolved at trace time). ``frame_chunk``:
     lax.map chunking of each shard's frames once they outgrow VMEM
-    (measured 1.7x at the 30-minute shape, ops/stft.py)."""
+    (measured ~2x at the 30-minute shape, ops/stft.py)."""
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
     fwd = jnp.asarray(fwd_weights, dtype=dtype)
     fc = (auto_frame_chunk(plan.frames_per_shard)
@@ -535,11 +535,7 @@ def sharded_mel_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_mels: int,
                 s, num_mels, plan.frame_len, plan.hop, w, window,
                 fft_backend, frame_chunk=fc))(x_ext)
         re, im = _local_stft_planes(x, window, plan, fft_backend)
-        mags = jnp.sqrt(re * re + im * im)
-        ch = jnp.stack([mags[..., :-1], mags[..., 1:]], axis=-1)
-        mel = jnp.einsum("bfnc,mn->bfmc", ch, w.astype(ch.dtype),
-                         preferred_element_type=ch.dtype)
-        return spectral_normalize(mel)
+        return _mel_from_mags(jnp.sqrt(re * re + im * im), w)
 
     return jax.jit(lambda x: _fn(x, fwd))
 

@@ -62,7 +62,7 @@ from jax import export as jax_export
 from .core.config import MelConfig, PhaseConfig
 from .core.filterbank import inverse_mel_weights, mel_weights
 from .core.framing import pad_length
-from .ops.mel_ops import mel_decode, mel_encode
+from .ops.mel_ops import mel_decode, mel_encode_batch
 from .ops.phase_ops import phase_decode, phase_encode
 from .ops.stft import hann_window
 
@@ -109,11 +109,10 @@ def export_mel_encoder(config: MelConfig, *, seconds: float,
                                   c.mel_fmax), dtype)
     win = jnp.asarray(hann_window(c.resolut), dtype)
 
-    def encode_one(x):
-        return mel_encode(x, c.num_mels, c.resolut, c.window, fwd, win,
-                          fft_backend=fft_backend)
-
-    fn = jax.jit(jax.vmap(encode_one))
+    # batch-explicit: ~15-20% over vmap-of-the-codec on v5e (ops/mel_ops)
+    fn = jax.jit(lambda xb: mel_encode_batch(
+        xb, c.num_mels, c.resolut, c.window, fwd, win,
+        fft_backend=fft_backend))
     b = _batch_dim(batch)
     spec = jax.ShapeDtypeStruct((b, n), dtype)
     return jax_export.export(fn, platforms=list(platforms))(spec)

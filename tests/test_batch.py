@@ -140,3 +140,35 @@ def test_decode_accepts_global_encode_result():
     out = np.asarray(bm.decode(enc, seed=0))
     want = np.asarray(bm.decode(np.asarray(enc), seed=0))
     np.testing.assert_allclose(out, want, atol=1e-6, rtol=1e-6)
+
+
+def test_batch_explicit_encoders_match_vmap():
+    """mel_encode_batch / phase_encode_batch are a pure formulation change
+    (adopted for the measured ~15-20% TPU win, ops/mel_ops.py) — their
+    output must match jax.vmap of the single-signal encoders."""
+    import jax
+    from gomel_tpu.core.filterbank import mel_weights
+    from gomel_tpu.ops.mel_ops import mel_encode, mel_encode_batch
+    from gomel_tpu.ops.phase_ops import phase_encode, phase_encode_batch
+
+    frame_len, hop, num_mels, num_freqs = 128, 32, 24, 40
+    L = pad_length(3000, hop)
+    xb = jnp.asarray(
+        np.random.default_rng(6).standard_normal((3, L)), jnp.float64)
+    fwd = jnp.asarray(mel_weights(frame_len // 2, num_mels, 0.0, 8000.0),
+                      jnp.float64)
+
+    got = mel_encode_batch(xb, num_mels, frame_len, hop, fwd)
+    want = jax.vmap(lambda x: mel_encode(x, num_mels, frame_len, hop, fwd))(xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
+
+    gotp = phase_encode_batch(xb, num_freqs, frame_len, hop)
+    wantp = jax.vmap(lambda x: phase_encode(x, num_freqs, frame_len, hop))(xb)
+    np.testing.assert_allclose(np.asarray(gotp), np.asarray(wantp),
+                               rtol=1e-12, atol=1e-12)
+
+    # chunked rows route through the per-signal lax.map path unchanged
+    got_c = mel_encode_batch(xb, num_mels, frame_len, hop, fwd, frame_chunk=7)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want),
+                               rtol=1e-9, atol=1e-9)

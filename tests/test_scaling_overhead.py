@@ -47,10 +47,11 @@ def test_sharded_griffin_lim_overhead_bounded():
         lambda m, k: griffin_lim(m.astype(jnp.float32), cfg.window, 2, k)))
 
     # Wall-clock measurement on a shared CI core: under full-suite load a
-    # single sample can blow the bound spuriously, so take the best of 3
+    # single sample can blow the bound spuriously (observed: best-of-3 all
+    # bad once in a full-suite run, fine alone), so take the best of 6
     # attempts — a genuine regression (per-iteration all-gather) fails all.
     overhead = float("inf")
-    for _ in range(3):
+    for _ in range(6):
         t1 = measure_throughput(gl1, (mag, keys), 1.0, min_seconds=0.3)
         tN = measure_throughput(glN, (mag, sig0), 1.0, min_seconds=0.3,
                                 n_devices=n_dev)
