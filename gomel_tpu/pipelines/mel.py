@@ -93,6 +93,11 @@ class Mel:
         Applies reference padding (mel/impl.go:429-455) host-side first.
         """
         x = np.asarray(x)
+        if x.ndim != 1:
+            # a [B, L] batch would silently pad to pad_length(B) — refuse
+            raise ValueError(
+                f"Mel.encode takes a single [L] signal (got shape "
+                f"{x.shape}); use parallel.BatchedMel for [B, L] batches")
         padded = pad_length(len(x), self.config.window)
         if padded != len(x):
             x = np.pad(x, (0, padded - len(x)))

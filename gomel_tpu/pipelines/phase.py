@@ -92,6 +92,11 @@ class Phase:
         """Audio -> phase spectrogram [F, num_freqs, 2] (device array); applies
         reference padding host-side (phase/impl.go:424-450)."""
         x = np.asarray(x)
+        if x.ndim != 1:
+            # a [B, L] batch would silently pad to pad_length(B) — refuse
+            raise ValueError(
+                f"Phase.encode takes a single [L] signal (got shape "
+                f"{x.shape}); use parallel.BatchedPhase for [B, L] batches")
         padded = pad_length(len(x), self.config.window)
         if padded != len(x):
             x = np.pad(x, (0, padded - len(x)))

@@ -191,3 +191,17 @@ def test_pipeline_encode_auto_chunk_matches_flat_kernel():
     want = np.asarray(mel_encode(jnp.asarray(x), cfg.num_mels, cfg.resolut,
                                  cfg.window, w))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_encode_rejects_batched_input():
+    # a [B, L] batch would silently pad to pad_length(B); the pipelines
+    # refuse and point at the batched API (parallel.BatchedMel/Phase)
+    import pytest
+    from gomel_tpu.pipelines.mel import Mel
+    from gomel_tpu.pipelines.phase import Phase
+    from gomel_tpu.core.config import MelConfig, PhaseConfig
+    xb = np.zeros((2, 4000), dtype=np.float32)
+    with pytest.raises(ValueError, match="BatchedMel"):
+        Mel(MelConfig(num_mels=24, window=32, resolut=128)).encode(xb)
+    with pytest.raises(ValueError, match="BatchedPhase"):
+        Phase(PhaseConfig(num_freqs=40, window=32, resolut=128)).encode(xb)
