@@ -91,8 +91,8 @@ def main() -> None:
         dtype=jnp.float32)
     window = jnp.asarray(hann_window(cfg.resolut), dtype=jnp.float32)
 
-    # batch-explicit encode: ~15-20% over jit(vmap(mel_encode)) on v5e
-    # (ops/mel_ops.mel_encode_batch; benchmarks/exp_shardmap_ab2.py)
+    # batch-explicit encode: +4-20% over jit(vmap(mel_encode)) on v5e
+    # depending on ambient load (ops/mel_ops.py; RESULTS.md recalibration)
     @jax.jit
     def step(xb):
         return mel_encode_batch(xb, cfg.num_mels, cfg.resolut, cfg.window,

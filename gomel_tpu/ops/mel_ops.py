@@ -78,12 +78,12 @@ def mel_encode_batch(xb: jax.Array, num_mels: int, frame_len: int, hop: int,
     """Batched audio [B, L] -> log-mel [B, F, num_mels, 2].
 
     Same numerics as ``jax.vmap(mel_encode)`` but written batch-explicitly —
-    one rfft over the whole [B, F, N] frame block and one einsum — which XLA
-    compiles ~15-20% faster than the vmap-of-the-whole-codec program at the
-    batch-2 serving shape on v5e (interleaved A/B,
-    benchmarks/exp_shardmap_ab2.py: median 83k vs 68k a-s/s). The filterbank
-    weights must be a compile-time constant for the win (the arg-passed
-    variant C measured ~70k).
+    one rfft over the whole [B, F, N] frame block and one einsum. Measured
+    at the batch-2 serving shape on v5e (interleaved A/Bs,
+    benchmarks/exp_shardmap_ab2.py + the quiet-window recalibration in
+    RESULTS.md): +4-5% on an idle chip, up to ~+20% under ambient co-tenant
+    load; never slower. The filterbank weights must be a compile-time
+    constant (the arg-passed variant measured the win away).
     """
     if window is None:
         window = jnp.asarray(hann_window(frame_len), dtype=xb.dtype)

@@ -235,8 +235,8 @@ class BatchedMel(_BatchedBase):
             inverse_mel_weights(c.n_bins, c.num_mels, c.mel_fmin, c.mel_fmax),
             dtype)
         self._window = jnp.asarray(hann_window(c.resolut), dtype)
-        # batch-explicit encode: ~15-20% over jit(vmap(mel_encode)) on v5e
-        # (ops/mel_ops.mel_encode_batch; benchmarks/exp_shardmap_ab2.py)
+        # batch-explicit encode: +4-20% over jit(vmap(mel_encode)) on v5e
+        # depending on ambient load, never slower (ops/mel_ops.py)
         self._encode = jax.jit(
             lambda xb: mel_encode_batch(xb, c.num_mels, c.resolut, c.window,
                                         self._fwd, self._window))

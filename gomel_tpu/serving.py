@@ -109,7 +109,7 @@ def export_mel_encoder(config: MelConfig, *, seconds: float,
                                   c.mel_fmax), dtype)
     win = jnp.asarray(hann_window(c.resolut), dtype)
 
-    # batch-explicit: ~15-20% over vmap-of-the-codec on v5e (ops/mel_ops)
+    # batch-explicit: +4-20% over vmap-of-the-codec on v5e (ops/mel_ops)
     fn = jax.jit(lambda xb: mel_encode_batch(
         xb, c.num_mels, c.resolut, c.window, fwd, win,
         fft_backend=fft_backend))
