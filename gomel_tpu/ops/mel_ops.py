@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .stft import frame_signal, hann_window, map_frame_chunks
 from .fftbackend import rfft_mag
@@ -63,10 +64,30 @@ def mel_encode(x_padded: jax.Array, num_mels: int, frame_len: int, hop: int,
 
 def _mel_from_mags(mags: jax.Array, fwd_weights: jax.Array) -> jax.Array:
     """|rfft| [..., N/2+1] -> log-mel [..., num_mels, 2] (channel pair =
-    adjacent-bin magnitudes, filterbank as one MXU matmul)."""
-    ch = jnp.stack([mags[..., :-1], mags[..., 1:]], axis=-1)  # [.., N/2, 2]
-    mel = jnp.einsum("...bc,mb->...mc", ch, fwd_weights.astype(ch.dtype),
-                     preferred_element_type=ch.dtype)
+    adjacent-bin magnitudes, filterbank as one MXU matmul).
+
+    Constant weights take the extended-weight single-matmul form: one
+    [N/2+1, 2*num_mels] matrix whose interleaved column pairs hold the ch0
+    weights and the same weights shifted one bin down (ch1), so the whole
+    tail is ``mags @ We`` + reshape — no [.., N/2, 2] channel-stack copy.
+    Measured +5-6% on the batch-2 serving-shape encode in two qualified
+    quiet windows, 11/12 pairwise (benchmarks/exp_mel_tail.py; RESULTS.md).
+    Tracer-valued weights (the documented slower runtime-arg case) keep the
+    stack+einsum form, which needs no host-side weight rearrangement.
+    """
+    if isinstance(fwd_weights, jax.core.Tracer):
+        ch = jnp.stack([mags[..., :-1], mags[..., 1:]], axis=-1)
+        mel = jnp.einsum("...bc,mb->...mc", ch, fwd_weights.astype(ch.dtype),
+                         preferred_element_type=ch.dtype)
+        return spectral_normalize(mel)
+    w = np.asarray(fwd_weights)  # concrete: rearrange host-side, trace-time
+    num_mels, n_bins = w.shape
+    we = np.zeros((n_bins + 1, 2 * num_mels), dtype=w.dtype)
+    we[:-1, 0::2] = w.T  # ch0 = bins j   (j in [0, N/2))
+    we[1:, 1::2] = w.T   # ch1 = bins j+1 (== |S[N-j-1]|, see module doc)
+    y = jnp.einsum("...n,nk->...k", mags, jnp.asarray(we, mags.dtype),
+                   preferred_element_type=mags.dtype)
+    mel = y.reshape(*y.shape[:-1], num_mels, 2)
     return spectral_normalize(mel)
 
 
