@@ -36,8 +36,21 @@ import numpy as np
 PREC = jax.lax.Precision.HIGHEST
 
 
+# Measured split overrides (benchmarks/exp_ct_split.py). At the flagship
+# N=4096 the 32x128 split (full 128-wide MXU contraction in the length-n2
+# stage) beat the most-square 64x64 by +3.6/+4.6/+5.9% median in three
+# consecutive interleaved races on 2026-08-19 (~11/12 pairwise; an earlier
+# single 5-round race on a noisier day read 0.975 — superseded by the
+# repeated consistent result). Numerics of every split are pinned exact by
+# tests/test_mxu_fft.py, so the override is quality-neutral.
+_SPLIT_OVERRIDES = {4096: (32, 128)}
+
+
 def _split(n: int) -> tuple[int, int]:
-    """Pick N1*N2 = n with both factors <= 128 and as square as possible."""
+    """Pick N1*N2 = n with both factors <= 128: a measured override when we
+    have one, else as square as possible."""
+    if n in _SPLIT_OVERRIDES:
+        return _SPLIT_OVERRIDES[n]
     best = None
     r = int(math.isqrt(n))
     for n1 in range(min(128, n), 0, -1):
