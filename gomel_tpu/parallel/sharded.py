@@ -521,23 +521,28 @@ def sharded_mel_encode_fn(mesh: Mesh, plan: FrameShardPlan, num_mels: int,
     lax.map chunking of each shard's frames once they outgrow VMEM
     (measured ~2x at the 30-minute shape, ops/stft.py)."""
     window = jnp.asarray(hann_window(plan.frame_len), dtype=dtype)
-    fwd = jnp.asarray(fwd_weights, dtype=dtype)
+    # Keep the weights a host-side CONSTANT closed over the shard_map body
+    # (replicated automatically): threading them as an operand makes
+    # _mel_from_mags see a tracer, which both forfeits the measured
+    # constant-weights win (RESULTS.md batch-explicit variant C) and blocks
+    # the extended-weight single-matmul tail.
+    fwd = np.asarray(fwd_weights, dtype=dtype)
     fc = (auto_frame_chunk(plan.frames_per_shard)
           if frame_chunk == "auto" else frame_chunk)
 
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=(P(DATA_AXIS, FRAME_AXIS), P()),
+        shard_map, mesh=mesh, in_specs=(P(DATA_AXIS, FRAME_AXIS),),
         out_specs=P(DATA_AXIS, FRAME_AXIS, None, None))
-    def _fn(x, w):
+    def _fn(x):
         if fc:
             x_ext = _local_signal_ext(x, plan)
             return jax.vmap(lambda s: mel_encode(
-                s, num_mels, plan.frame_len, plan.hop, w, window,
+                s, num_mels, plan.frame_len, plan.hop, fwd, window,
                 fft_backend, frame_chunk=fc))(x_ext)
         re, im = _local_stft_planes(x, window, plan, fft_backend)
-        return _mel_from_mags(jnp.sqrt(re * re + im * im), w)
+        return _mel_from_mags(jnp.sqrt(re * re + im * im), fwd)
 
-    return jax.jit(lambda x: _fn(x, fwd))
+    return jax.jit(_fn)
 
 
 def sharded_mel_decode_fn(mesh: Mesh, plan: FrameShardPlan,
