@@ -72,17 +72,18 @@ def compiled_costs(jitted, *args) -> tuple[float, float]:
 def hand_count_mel_encode(n_frames: int, n: int, num_mels: int) -> float:
     """Independent FLOP count for mel encode, to cross-check XLA's model.
 
-    Per frame (N = frame length, CT split N1 = N2 = sqrt(N), K2 = N/2/N2+1):
+    Per frame (N = frame length, CT split (N1, N2) = mxu_fft._split(N) —
+    the shipped 32x128 measured override at N=4096, K2 = N/2/N2+1):
       window            N mul
       CT stage 1        2 real matmuls  [N1,N2]x[N2,N2]  -> 2*2*N1*N2*N2
       twiddle           6*N1*N2 (complex elementwise)
       CT stage 3        4 real matmuls  [K1=N2,N1]x[N1,K2] -> 4*2*N2*N1*K2
       |.|               ~4*(N/2+1)  (sq, sq, add, sqrt)
-      mel matmul        2 channels: 2*2*(N/2)*num_mels
+      mel matmul        extended-weight single matmul == 2ch: 2*2*(N/2)*mels
       log-normalize     ~2*num_mels*2
     """
-    n1 = n2 = int(np.sqrt(n))
-    assert n1 * n2 == n
+    from gomel_tpu.ops.mxu_fft import _split
+    n1, n2 = _split(n)
     k2 = (n // 2) // n2 + 1
     per_frame = (
         n

@@ -205,3 +205,33 @@ def test_encode_rejects_batched_input():
         Mel(MelConfig(num_mels=24, window=32, resolut=128)).encode(xb)
     with pytest.raises(ValueError, match="BatchedPhase"):
         Phase(PhaseConfig(num_freqs=40, window=32, resolut=128)).encode(xb)
+
+
+def test_mel_tail_tracer_and_constant_forms_agree():
+    """_mel_from_mags has two forms: the extended-weight single matmul for
+    constant weights (adopted, benchmarks/exp_mel_tail.py) and the
+    stack+einsum fallback when the weights are a tracer (runtime argument).
+    Both must compute the same mel tail (reduction-order tolerance)."""
+    from gomel_tpu.ops.mel_ops import _mel_from_mags
+
+    cfg = MelConfig()
+    w = mel_weights(cfg.n_bins, cfg.num_mels, cfg.mel_fmin, cfg.mel_fmax)
+    rng = np.random.RandomState(1)
+    mags = jnp.asarray(np.abs(rng.randn(7, cfg.n_bins + 1)))
+
+    const_form = _mel_from_mags(mags, jnp.asarray(w))          # extended
+    tracer_form = jax.jit(_mel_from_mags)(mags, jnp.asarray(w))  # fallback
+    np.testing.assert_allclose(const_form, tracer_form,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_mxu_fft_split_override_active_at_4096():
+    """The measured 32x128 override (RESULTS.md CT factor-split sweep) must
+    actually be what _split returns at the flagship N; other sizes keep the
+    most-square heuristic. Parity of every split is pinned by
+    test_mxu_fft.py."""
+    from gomel_tpu.ops.mxu_fft import _split
+
+    assert _split(4096) == (32, 128)
+    n1, n2 = _split(2048)  # un-overridden: most-square legal factorization
+    assert n1 * n2 == 2048 and n1 <= 128 and n2 <= 128 and {n1, n2} == {32, 64}
