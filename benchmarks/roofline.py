@@ -79,7 +79,9 @@ def hand_count_mel_encode(n_frames: int, n: int, num_mels: int) -> float:
       twiddle           6*N1*N2 (complex elementwise)
       CT stage 3        4 real matmuls  [K1=N2,N1]x[N1,K2] -> 4*2*N2*N1*K2
       |.|               ~4*(N/2+1)  (sq, sq, add, sqrt)
-      mel matmul        extended-weight single matmul == 2ch: 2*2*(N/2)*mels
+      mel matmul        extended-weight single matmul: 2*(N/2+1)*(2*mels)
+                        (contraction over all N/2+1 rfft bins — ~0.05% more
+                        than the 2-channel form's 2*2*(N/2)*mels)
       log-normalize     ~2*num_mels*2
     """
     from gomel_tpu.ops.mxu_fft import _split
@@ -91,7 +93,7 @@ def hand_count_mel_encode(n_frames: int, n: int, num_mels: int) -> float:
         + 6 * n1 * n2
         + 4 * 2 * n2 * n1 * k2
         + 4 * (n // 2 + 1)
-        + 2 * 2 * (n // 2) * num_mels
+        + 2 * (n // 2 + 1) * (2 * num_mels)
         + 4 * num_mels
     )
     return float(n_frames * per_frame)

@@ -25,6 +25,39 @@ from .fftbackend import rfft_mag
 from .griffinlim import griffin_lim, griffin_lim_magnitudes
 
 
+# Extended-weight rearrangement cache: id(weights) -> (pinned source, [N/2+1, 2M]).
+# The source array is pinned in the value so its id can't be recycled; entries
+# are tiny (one per distinct filterbank config) and the cache is bounded.
+_EXT_WEIGHT_CACHE: dict[int, tuple[object, np.ndarray]] = {}
+_EXT_WEIGHT_CACHE_MAX = 16
+
+
+def _extended_weights(fwd_weights) -> np.ndarray | None:
+    """Concrete [M, N/2] weights -> memoized [N/2+1, 2M] extended matrix.
+
+    Returns None when ``fwd_weights`` is not concrete (a tracer) — the caller
+    falls back to the stack+einsum form that needs no host-side values. Uses
+    ``np.asarray`` + the public TracerArrayConversionError instead of touching
+    jax.core internals, and caches the rearrangement so device-resident weight
+    arrays are pulled to host at most once, not per trace (axon read-back RTT
+    is ~27 ms)."""
+    entry = _EXT_WEIGHT_CACHE.get(id(fwd_weights))
+    if entry is not None and entry[0] is fwd_weights:
+        return entry[1]
+    try:
+        w = np.asarray(fwd_weights)
+    except jax.errors.TracerArrayConversionError:
+        return None
+    num_mels, n_bins = w.shape
+    we = np.zeros((n_bins + 1, 2 * num_mels), dtype=w.dtype)
+    we[:-1, 0::2] = w.T  # ch0 = bins j   (j in [0, N/2))
+    we[1:, 1::2] = w.T   # ch1 = bins j+1 (== |S[N-j-1]|, see module doc)
+    if len(_EXT_WEIGHT_CACHE) >= _EXT_WEIGHT_CACHE_MAX:
+        _EXT_WEIGHT_CACHE.clear()
+    _EXT_WEIGHT_CACHE[id(fwd_weights)] = (fwd_weights, we)
+    return we
+
+
 def spectral_normalize(x: jax.Array) -> jax.Array:
     """clamp below at 1e-5, then natural log (reference: mel/impl.go:410-419)."""
     return jnp.log(jnp.maximum(x, 1e-5))
@@ -72,19 +105,16 @@ def _mel_from_mags(mags: jax.Array, fwd_weights: jax.Array) -> jax.Array:
     tail is ``mags @ We`` + reshape — no [.., N/2, 2] channel-stack copy.
     Measured +5-6% on the batch-2 serving-shape encode in two qualified
     quiet windows, 11/12 pairwise (benchmarks/exp_mel_tail.py; RESULTS.md).
-    Tracer-valued weights (the documented slower runtime-arg case) keep the
+    Non-concrete weights (the documented slower runtime-arg case) keep the
     stack+einsum form, which needs no host-side weight rearrangement.
     """
-    if isinstance(fwd_weights, jax.core.Tracer):
+    we = _extended_weights(fwd_weights)
+    if we is None:  # tracer-valued weights: no host values available
         ch = jnp.stack([mags[..., :-1], mags[..., 1:]], axis=-1)
         mel = jnp.einsum("...bc,mb->...mc", ch, fwd_weights.astype(ch.dtype),
                          preferred_element_type=ch.dtype)
         return spectral_normalize(mel)
-    w = np.asarray(fwd_weights)  # concrete: rearrange host-side, trace-time
-    num_mels, n_bins = w.shape
-    we = np.zeros((n_bins + 1, 2 * num_mels), dtype=w.dtype)
-    we[:-1, 0::2] = w.T  # ch0 = bins j   (j in [0, N/2))
-    we[1:, 1::2] = w.T   # ch1 = bins j+1 (== |S[N-j-1]|, see module doc)
+    num_mels = we.shape[1] // 2
     y = jnp.einsum("...n,nk->...k", mags, jnp.asarray(we, mags.dtype),
                    preferred_element_type=mags.dtype)
     mel = y.reshape(*y.shape[:-1], num_mels, 2)

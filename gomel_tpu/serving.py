@@ -226,7 +226,12 @@ def export_longform_mel_encoder(config: MelConfig, mesh, *, n_frames: int,
     the REAL frame count; input length and padded frame count come from the
     sharding plan (``longform_plan``). The FFT backend is EXPLICIT (default
     the measured TPU optimum) — "auto" would bake the BUILD host's backend
-    into the artifact (CLAUDE.md)."""
+    into the artifact (CLAUDE.md).
+
+    The mel filterbank weights are baked into the artifact as a replicated
+    HLO CONSTANT (the measured constant-weights win, benchmarks/RESULTS.md):
+    the artifact is ~1.5-3 MB larger and its weights are IMMUTABLE — to serve
+    a different filterbank, export a new artifact."""
     from .parallel import sharded as sh
     from .parallel.mesh import FRAME_AXIS
     c = config
