@@ -33,6 +33,18 @@ Each worker process:
 tests/test_multiprocess.py runs the launcher form and asserts both workers
 print the OK marker. Kept under benchmarks/ because it doubles as the
 runnable multihost demo referenced by docs/MULTIHOST.md.
+
+``--kill-drill`` is the real elastic-recovery drill (VERDICT r3 item 1):
+phase A starts a fresh 2-process mesh running ``LongFormMel.decode_resumable``
+with per-segment ``save_gl_checkpoint_sharded`` checkpoints, the launcher
+delivers an uncatchable SIGKILL to worker 1's exact PID right after the first
+globally-complete checkpoint lands (a genuine unclean death: no atexit, no
+distributed shutdown — worker 0 subsequently fails or hangs in the next
+cross-process collective and is reaped by the launcher), and phase B brings
+up two FRESH processes on a NEW coordinator, reassembles the carry via
+``load_gl_checkpoint_sharded`` (global-min agreement across the restarted
+mesh), resumes, and asserts the result is bit-equal to an uninterrupted run
+(momentum=0 executes the identical iteration sequence, longform.py).
 """
 from __future__ import annotations
 
@@ -62,6 +74,13 @@ def _parse(argv):
     ap.add_argument("--measure-overhead", action="store_true",
                     help="measure cross-process sharding overhead at fixed "
                          "total work instead of running the parity checks")
+    ap.add_argument("--kill-drill", action="store_true",
+                    help="launcher: run the SIGKILL + restart + resume "
+                         "elastic-recovery drill")
+    ap.add_argument("--kill-drill-phase", choices=("run", "resume"),
+                    default=None, help="worker mode for the kill drill")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="sharded-checkpoint directory (kill drill workers)")
     return ap.parse_args(argv)
 
 
@@ -464,6 +483,163 @@ def run_overhead_worker(args) -> None:
              "n_devices": n, "n_processes": args.num_processes}), flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Elastic-recovery kill drill (VERDICT r3 item 1): SIGKILL + restart + resume
+# ---------------------------------------------------------------------------
+
+KD_GL_ITERS, KD_SEGMENT_ITERS, KD_NUM_MELS = 12, 3, 24
+KD_RESUME_MARKER = "KILL-DRILL-RESUME OK"
+KD_OK_MARKER = "KILL-DRILL OK"
+
+
+def _kd_setup(args):
+    """Shared kill-drill worker bring-up: mesh, deterministic input, encoder.
+
+    Both phases (and both the interrupted and the uninterrupted run) derive
+    the IDENTICAL logmel from the same seeded signal, so bit-equality of the
+    decodes is meaningful across the process restart."""
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={args.local_devices}")
+    if REPO_ROOT not in sys.path:
+        sys.path.insert(0, REPO_ROOT)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from gomel_tpu.core.config import MelConfig
+    from gomel_tpu.parallel.mesh import initialize_multihost, make_mesh
+    from gomel_tpu.pipelines.longform import LongFormMel
+
+    initialize_multihost(args.coordinator, args.num_processes,
+                         args.process_id)
+    mesh = make_mesh(data=1, frame=jax.device_count())
+    cfg = MelConfig(num_mels=KD_NUM_MELS, griffin_lim_iterations=KD_GL_ITERS,
+                    window=HOP, resolut=FRAME_LEN)
+    x = np.random.default_rng(0).standard_normal(
+        (BATCH, N_FRAMES_SIGNAL)).astype(np.float32)
+    lfm = LongFormMel(cfg, mesh)
+    logmel = lfm.encode(x)
+    return jax, np, mesh, cfg, lfm, logmel
+
+
+def run_kill_drill_run_worker(args) -> None:
+    """Phase A worker: resumable decode with per-segment sharded checkpoints.
+    Worker 1 is SIGKILLed by the launcher mid-run; worker 0 then fails or
+    hangs in the next cross-process collective and is reaped."""
+    import time
+    jax, np, mesh, cfg, lfm, logmel = _kd_setup(args)
+    from gomel_tpu.pipelines.longform import save_gl_checkpoint_sharded
+
+    def cb(done, carry):
+        save_gl_checkpoint_sharded(args.ckpt_dir, done, carry)
+        # widen the launcher's kill window so the SIGKILL deterministically
+        # lands mid-run (pod segments are minutes; these test shapes are ms)
+        time.sleep(0.75)
+
+    out = lfm.decode_resumable(logmel, seed=0,
+                               segment_iters=KD_SEGMENT_ITERS, callback=cb)
+    jax.block_until_ready(out)
+    # only reached if the launcher failed to interrupt the run
+    print(f"KILL-DRILL-RUN FINISHED p{args.process_id}", flush=True)
+
+
+def run_kill_drill_resume_worker(args) -> None:
+    """Phase B worker (fresh process, NEW coordinator): reassemble the carry
+    from the per-process shard files (global-min agreement), finish the
+    decode, and assert bit-equality with an uninterrupted run."""
+    jax, np, mesh, cfg, lfm, logmel = _kd_setup(args)
+    from gomel_tpu.pipelines.longform import (LongFormMel,
+                                              load_gl_checkpoint_sharded)
+
+    done, carry = load_gl_checkpoint_sharded(args.ckpt_dir, mesh)
+    assert 0 < done < KD_GL_ITERS and done % KD_SEGMENT_ITERS == 0, done
+    resumed = lfm.decode_resumable(logmel, seed=0,
+                                   segment_iters=KD_SEGMENT_ITERS,
+                                   resume=(done, carry))
+    want = LongFormMel(cfg, mesh).decode_resumable(
+        logmel, seed=0, segment_iters=KD_SEGMENT_ITERS)
+    checked = 0
+    for sr, sw in zip(resumed.addressable_shards, want.addressable_shards):
+        assert sr.index == sw.index
+        np.testing.assert_array_equal(np.asarray(sr.data),
+                                      np.asarray(sw.data))
+        checked += 1
+    assert checked > 0
+    print(f"{KD_RESUME_MARKER} p{args.process_id} resumed_from_iter={done} "
+          f"({checked} local shards bit-equal)", flush=True)
+
+
+def launch_kill_drill(local_devices: int) -> int:
+    import json
+    import shutil
+    import tempfile
+    import time
+
+    ckpt_dir = tempfile.mkdtemp(prefix="gomel-kill-drill-")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+
+    def spawn(phase: str, coord: str, **popen_kw):
+        return [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--kill-drill-phase", phase, "--ckpt-dir", ckpt_dir,
+                 "--process-id", str(i), "--num-processes", "2",
+                 "--coordinator", coord,
+                 "--local-devices", str(local_devices)],
+                env=env, cwd=REPO_ROOT, **popen_kw)
+            for i in range(2)
+        ]
+
+    # --- phase A: run + SIGKILL worker 1 after the first complete ckpt ----
+    procs = spawn("run", f"127.0.0.1:{_free_port()}")
+    first = os.path.join(ckpt_dir, f"iter_{KD_SEGMENT_ITERS:08d}")
+    deadline = time.time() + 300
+    interrupted = False
+    while time.time() < deadline:
+        if (os.path.exists(os.path.join(first, "COMPLETE.p0"))
+                and os.path.exists(os.path.join(first, "COMPLETE.p1"))):
+            procs[1].kill()  # SIGKILL the exact victim PID, mid-run
+            interrupted = True
+            break
+        if any(p.poll() is not None for p in procs):
+            break  # a worker ended before the first checkpoint: drill broken
+        time.sleep(0.05)
+    if not interrupted:
+        for p in procs:
+            p.kill()
+        raise SystemExit("kill-drill: no complete checkpoint appeared — "
+                         "nothing to interrupt")
+    victim_rc = procs[1].wait()
+    try:  # the survivor fails or hangs in its next cross-process collective
+        survivor_rc = procs[0].wait(timeout=180)
+        survivor_reaped = False
+    except subprocess.TimeoutExpired:
+        procs[0].kill()
+        survivor_rc = procs[0].wait()
+        survivor_reaped = True
+
+    # --- phase B: FRESH processes, NEW coordinator, reassemble + resume ---
+    procs2 = spawn("resume", f"127.0.0.1:{_free_port()}",
+                   stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                   text=True)
+    out = ""
+    rc = 0
+    for p in procs2:
+        stdout, _ = p.communicate(timeout=300)
+        out += stdout
+        rc = max(rc, p.returncode)
+    sys.stdout.write(out)
+    if rc != 0 or out.count(KD_RESUME_MARKER) != 2:
+        raise SystemExit(f"kill-drill resume failed rc={rc}:\n{out}")
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    print(KD_OK_MARKER + " " + json.dumps({
+        "victim_rc": victim_rc, "survivor_rc": survivor_rc,
+        "survivor_reaped_by_launcher": survivor_reaped,
+        "resumed_processes": 2}), flush=True)
+    return 0
+
+
 def _launch_capture(num_processes: int, local_devices: int) -> str:
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
@@ -510,11 +686,21 @@ def launch_overhead(local_devices: int) -> int:
 def main(argv=None) -> int:
     args = _parse(argv)
     if args.process_id is None:
+        if args.kill_drill:
+            return launch_kill_drill(args.local_devices)
         if args.measure_overhead:
             return launch_overhead(args.local_devices)
         return launch(args.num_processes, args.local_devices)
     if args.coordinator is None:
         raise SystemExit("--coordinator is required in worker mode")
+    if args.kill_drill_phase is not None:
+        if args.ckpt_dir is None:
+            raise SystemExit("--ckpt-dir is required for kill-drill workers")
+        if args.kill_drill_phase == "run":
+            run_kill_drill_run_worker(args)
+        else:
+            run_kill_drill_resume_worker(args)
+        return 0
     if args.measure_overhead:
         run_overhead_worker(args)
         return 0

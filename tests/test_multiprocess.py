@@ -38,6 +38,27 @@ def test_two_process_bringup_and_parity():
         assert out.count(marker) == 2, (marker, out)
 
 
+def test_kill_drill_elastic_recovery():
+    """Real elastic-recovery drill (VERDICT r3 item 1): SIGKILL one worker of
+    a live 2-process jax.distributed mesh mid-decode_resumable, then bring up
+    two FRESH processes on a new coordinator, reassemble the carry from the
+    per-process sharded checkpoints (load_gl_checkpoint_sharded global-min
+    agreement), resume, and require bit-equality with an uninterrupted run."""
+    import json
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, SMOKE, "--kill-drill"],
+        capture_output=True, text=True, timeout=540, env=env, cwd=REPO_ROOT)
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out
+    assert out.count("KILL-DRILL-RESUME OK") == 2, out
+    assert "KILL-DRILL OK" in out, out
+    report = json.loads(out.split("KILL-DRILL OK ", 1)[1].splitlines()[0])
+    assert report["victim_rc"] == -9, report  # a genuine SIGKILL death
+    assert report["resumed_processes"] == 2, report
+
+
 def test_cross_process_overhead():
     """Fixed-total-work sharding overhead across a real 2-process bring-up
     (VERDICT r2 item 4). CI-noise-tolerant: on the 4-core host the sharded
