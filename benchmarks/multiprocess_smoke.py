@@ -74,6 +74,9 @@ def _parse(argv):
     ap.add_argument("--measure-overhead", action="store_true",
                     help="measure cross-process sharding overhead at fixed "
                          "total work instead of running the parity checks")
+    ap.add_argument("--four-proc", action="store_true",
+                    help="with --measure-overhead: also measure the "
+                         "4-process leg (same 8 global devices)")
     ap.add_argument("--kill-drill", action="store_true",
                     help="launcher: run the SIGKILL + restart + resume "
                          "elastic-recovery drill")
@@ -368,6 +371,40 @@ def run_worker(args) -> None:
     print(f"[p{pid}] elastic recovery ok: per-process shard checkpoints, "
           "resume bit-equal across the process boundary", flush=True)
 
+    # --- 3e. 2x2 mesh: BOTH axes cross the process boundary (np >= 4) ------
+    # VERDICT r3 item 7: data=2 x frame=2, so each data block is co-owned by
+    # a GROUP of processes (frame halves) — the ingest model generalized by
+    # parallel.mesh.data_group_for_process / io.dataset.shard_files_for_group.
+    if args.num_processes >= 4 and n % 2 == 0:
+        from gomel_tpu.io.dataset import shard_files_for_group
+        from gomel_tpu.parallel.mesh import data_group_for_process
+
+        mesh_22 = make_mesh(data=2, frame=n // 2)
+        lfm22 = LongFormMel(mcfg, mesh_22)
+        logmel22 = lfm22.encode(x)
+        _check_global(logmel22, want_logmel, 1e-4,
+                      f"LongFormMel.encode on the 2x2 mesh across "
+                      f"{args.num_processes} processes (data AND frame axes "
+                      "cross processes)")
+
+        gi, ng = data_group_for_process(mesh_22)
+        assert ng == 2 and gi == (pid * 2) // args.num_processes, (gi, ng)
+        files22 = [f"utt{i:02d}" for i in range(2 * ng)]
+        mine22 = shard_files_for_group(files22, mesh_22)
+        assert len(mine22) == 2 and all(
+            int(f[3:]) % ng == gi for f in mine22), mine22
+        local22 = np.stack([synth(f) for f in mine22])
+        bm22 = BatchedMel(mcfg, mesh=mesh_22, input_mode="process_local")
+        enc22 = bm22.encode(local22)
+        got22 = local_rows(enc22, len(mine22))
+        want22 = np.stack(
+            [np.asarray(single_m.encode(synth(f))) for f in mine22])
+        np.testing.assert_allclose(got22[:, : want22.shape[1]], want22,
+                                   atol=1e-4, rtol=1e-4)
+        print(f"[p{pid}] parity ok: BatchedMel.encode(process_local) on the "
+              f"2x2 mesh — group {gi}/{ng} via shard_files_for_group",
+              flush=True)
+
     print(f"{OK_MARKER} process {pid}/{args.num_processes}: {n} global "
           "devices, cross-process halo exchange + global pmax verified, "
           "high-level LongForm/Batched APIs verified across processes",
@@ -661,7 +698,7 @@ def _launch_capture(num_processes: int, local_devices: int) -> str:
     return out
 
 
-def launch_overhead(local_devices: int) -> int:
+def launch_overhead(local_devices: int, four_proc: bool = False) -> int:
     import json
     base = json.loads(_launch_capture(1, 1).split(
         "OVERHEAD-BASELINE ", 1)[1].splitlines()[0])
@@ -679,6 +716,16 @@ def launch_overhead(local_devices: int) -> int:
         "griffin_lim_overhead_fraction": round(
             shard["griffin_lim_s"] / base["griffin_lim_s"] - 1, 4),
     }
+    if four_proc:
+        # same 8 global devices, 4 process boundaries instead of 2
+        # (VERDICT r3 item 7)
+        shard4 = json.loads(_launch_capture(4, max(local_devices // 2, 1))
+                            .split("OVERHEAD-SHARDED ", 1)[1].splitlines()[0])
+        report["sharded_4proc"] = shard4
+        report["encode_overhead_fraction_4proc"] = round(
+            shard4["encode_s"] / base["encode_s"] - 1, 4)
+        report["griffin_lim_overhead_fraction_4proc"] = round(
+            shard4["griffin_lim_s"] / base["griffin_lim_s"] - 1, 4)
     print(json.dumps(report, indent=2))
     return 0
 
@@ -689,7 +736,7 @@ def main(argv=None) -> int:
         if args.kill_drill:
             return launch_kill_drill(args.local_devices)
         if args.measure_overhead:
-            return launch_overhead(args.local_devices)
+            return launch_overhead(args.local_devices, args.four_proc)
         return launch(args.num_processes, args.local_devices)
     if args.coordinator is None:
         raise SystemExit("--coordinator is required in worker mode")

@@ -61,6 +61,21 @@ def shard_files_for_process(files: Sequence[str],
     return list(files[process_index::process_count])
 
 
+def shard_files_for_group(files: Sequence[str], mesh) -> List[str]:
+    """Per-GROUP file shard for meshes where several processes co-own each
+    data block (e.g. a 2x2 ``(data, frame)`` mesh over four single-device
+    processes): group ``g`` takes files ``g, g+G, g+2G, ...``.
+
+    The group half of ``shard_files_for_process``: co-owning processes get
+    the IDENTICAL list (the process-local ingest requires group members to
+    pass identical rows, parallel.mesh.data_group_for_process). On meshes
+    with one process per data block this equals ``shard_files_for_process``.
+    """
+    from ..parallel.mesh import data_group_for_process
+    gi, ng = data_group_for_process(mesh)
+    return list(files[gi::ng])
+
+
 def load_audio(path: str, mono: str = "left",
                flac_scaling: str = "phase") -> tuple[np.ndarray, int]:
     """Decode one file by extension (WAV via the in-tree io/wavcodec.py,

@@ -8,6 +8,7 @@ from .mesh import (
     DATA_AXIS,
     FRAME_AXIS,
     batch_frame_sharding,
+    data_group_for_process,
     data_sharding,
     host_to_global,
     initialize_multihost,
@@ -45,6 +46,7 @@ __all__ = [
     "DATA_AXIS", "FRAME_AXIS", "make_mesh", "single_device_mesh",
     "data_sharding", "batch_frame_sharding", "replicated",
     "initialize_multihost", "is_multihost",
+    "data_group_for_process",
     "host_to_global", "local_rows_to_global", "process_local_batch_multiple",
     "BatchedMel", "BatchedPhase", "Bucket", "local_rows", "make_buckets",
     "pad_batch_to_multiple",

@@ -38,6 +38,30 @@ def test_two_process_bringup_and_parity():
         assert out.count(marker) == 2, (marker, out)
 
 
+def test_four_process_2x2():
+    """Four-process bring-up with a 2x2 ``(data, frame)`` mesh where BOTH
+    axes cross process boundaries (VERDICT r3 item 7): full parity suite at
+    4 processes plus process-GROUP local ingest (shard_files_for_group /
+    data_group_for_process — two processes co-own each data block)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, SMOKE, "--num-processes", "4",
+         "--local-devices", "1"],
+        capture_output=True, text=True, timeout=540, env=env, cwd=REPO_ROOT)
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out
+    assert out.count("MULTIHOST-SMOKE OK") == 4, out
+    for marker in ("LongFormMel.encode on the 2x2 mesh across 4 processes",
+                   "BatchedMel.encode(process_local) on the 2x2 mesh",
+                   "elastic recovery ok"):
+        assert out.count(marker) == 4, (marker, out)
+    # the two ingest groups must both appear (processes 0,1 -> group 0;
+    # processes 2,3 -> group 1)
+    assert out.count("group 0/2 via shard_files_for_group") == 2, out
+    assert out.count("group 1/2 via shard_files_for_group") == 2, out
+
+
 def test_kill_drill_elastic_recovery():
     """Real elastic-recovery drill (VERDICT r3 item 1): SIGKILL one worker of
     a live 2-process jax.distributed mesh mid-decode_resumable, then bring up
