@@ -156,6 +156,59 @@ def main() -> None:
               f"{audio_s / td:.0f} a-s/s, roundtrip: "
               f"{audio_s / (te + td):.0f} a-s/s", file=sys.stderr)
 
+        # sample-rate family sweep (VERDICT r3 item 3): the reference's
+        # 44.1k family uses 836 bins — an odd, non-128-aligned count —
+        # and HDR doubles bins (836*2=1672, 768*2=1536;
+        # /root/reference/phase.py:49-61, phase.py:41). Shows the headline
+        # generalizes beyond the 48k/1536 flagship tiling.
+        for fam_sr, nf_base in ((48000, 768), (44100, 836)):
+            for hdr in (False, True):
+                nf = nf_base * 2 if hdr else nf_base
+                if nf == pc.num_freqs and fam_sr == sr:
+                    continue  # the flagship row above already measured this
+                n_fam = pad_length(int(fam_sr * secs), pc.window)
+                a_s = batch * n_fam / fam_sr
+                xf = [jax.device_put(jnp.asarray(
+                    rng.standard_normal((batch, n_fam)), jnp.float32), dev)
+                    for _ in range(2)]
+                pe_f = jax.jit(jax.vmap(lambda x, _nf=nf: phase_encode(
+                    x, _nf, pc.resolut, pc.window, pwin)))
+                pd_f = jax.jit(jax.vmap(lambda s: phase_decode(
+                    s, pc.resolut, pc.window, 0.0, None)))
+                specs_f = [pe_f(x) for x in xf]
+                te_f = pipelined_time(pe_f, [(x,) for x in xf], 8, 40)
+                td_f = pipelined_time(pd_f, [(s,) for s in specs_f], 8, 40)
+                tag = f"sr={fam_sr} nf={nf}" + (" HDR" if hdr else "")
+                print(f"phase encode [{tag}]: {a_s / te_f:.0f} a-s/s, "
+                      f"decode: {a_s / td_f:.0f} a-s/s", file=sys.stderr)
+
+        # IHS rows: the reference applies 2 asinh passes at PNG quantization
+        # (host-side, io/imagecodec.py; IHS implies !HDR so nf=768). These
+        # rows measure the DEVICE cost of the same compression fused into
+        # the codec, for tensor-path consumers that skip the PNG.
+        nf_ihs = 768
+        pe_ihs = jax.jit(jax.vmap(lambda x: jnp.arcsinh(jnp.arcsinh(
+            phase_encode(x, nf_ihs, pc.resolut, pc.window, pwin)))))
+        pd_ihs = jax.jit(jax.vmap(lambda s: phase_decode(
+            jnp.sinh(jnp.sinh(s)), pc.resolut, pc.window, 0.0, None)))
+        specs_i = [pe_ihs(x) for x in xbs]
+        te_i = pipelined_time(pe_ihs, [(x,) for x in xbs], 8, 40)
+        td_i = pipelined_time(pd_ihs, [(s,) for s in specs_i], 8, 40)
+        print(f"phase encode [IHS(2) on-device, nf=768]: "
+              f"{audio_s / te_i:.0f} a-s/s, decode: {audio_s / td_i:.0f} "
+              "a-s/s", file=sys.stderr)
+
+        # mel encode at the 44.1k family length (same weights — the mel
+        # config has no family variation in the reference; different frame
+        # count exercises a different tiling)
+        n441 = pad_length(int(44100 * secs), cfg.window)
+        x441 = [jax.device_put(jnp.asarray(
+            rng.standard_normal((batch, n441)), jnp.float32), dev)
+            for _ in range(2)]
+        t441 = pipelined_time(step, [(x,) for x in x441], 20, 120)
+        print(f"mel encode [sr=44100]: "
+              f"{batch * n441 / 44100 / t441:.0f} audio-s/s", file=sys.stderr)
+
         # shard_map tax on real hardware: the long-form frame-sharded encode
         # on a 1x1 mesh runs the IDENTICAL halo-exchange program the pod
         # runs (collectives lower to no-ops at mesh size 1); its throughput
