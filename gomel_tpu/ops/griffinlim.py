@@ -38,6 +38,50 @@ from .fftbackend import irfft_planes, rfft_planes
 from .istft import overlap_add
 
 
+# Measured equal-quality serving pairs (benchmarks/exp_gl_frontier.py on
+# tonal + speech-like input at the flagship 4096/1280 config, corroborated
+# by the 5-minute long-form sweep in benchmarks/RESULTS.md "GL momentum"):
+# plain-GL(n) quality class -> (momentum, iterations) matching or beating it
+# at the lowest measured wall-clock. Per-iteration cost is unchanged by
+# momentum, so the speedup equals the iteration ratio.
+GL_EQUAL_QUALITY_PAIRS: dict[int, tuple[float, int]] = {
+    # reference CLI default (GriffinLimIterations=2, mel/mel.go:39):
+    # momentum needs >= 2 iterations of history to engage, so no iteration
+    # reduction exists; momentum-2 measures par-to-slightly-better at equal
+    # cost (0.3847 vs 0.3867 tonal / 0.3629 vs 0.3641 speech-like)
+    2: (0.99, 2),
+    # mid class: momentum-8 beats plain-16 (0.1892 vs 0.1959 tonal,
+    # 0.1851 vs 0.1990 speech-like) -> 2.0x less wall-clock
+    16: (0.99, 8),
+    # BASELINE long-form class: momentum-24 beats plain-64 (0.0896 vs
+    # 0.1010 tonal, 0.0778 vs 0.0906 speech-like; 0.1238 vs 0.1340 on the
+    # 5-minute long-form shape) -> 2.7x less wall-clock
+    64: (0.99, 24),
+}
+
+
+def recommended_gl(plain_iters: int) -> tuple[float, int]:
+    """(momentum, iterations) matching plain-GL(``plain_iters``) quality at
+    the least measured wall-clock — the packaged serving recommendation.
+
+    Evidence-bound interpolation of :data:`GL_EQUAL_QUALITY_PAIRS`:
+    below 16 iterations the measured reductions do not hold (momentum at
+    half the iterations loses to plain at n<=8), so the recommendation is
+    momentum at EQUAL iterations (quality par-to-better, same cost); from
+    16 it is n/2, and from 64 the measured 3n/8. Guarded by
+    tests/test_fgla.py::test_equal_quality_pairs_rederive.
+    """
+    if plain_iters < 1:
+        raise ValueError("plain_iters must be >= 1")
+    if plain_iters < 2:
+        return (0.0, plain_iters)        # no history to extrapolate from
+    if plain_iters < 16:
+        return (0.99, plain_iters)       # quality upgrade at equal cost
+    if plain_iters < 64:
+        return (0.99, -(-plain_iters // 2))
+    return (0.99, -(-plain_iters * 3 // 8))
+
+
 def griffin_lim_magnitudes(linear2: jax.Array) -> jax.Array:
     """Half-spectrum magnitudes [F, N/2+1] from a 2-channel linear spectrogram
     [F, N/2, 2] (the ``undospectrum`` layout, mel/impl.go:386-408)."""

@@ -127,6 +127,12 @@ def export_mel_decoder(config: MelConfig, *, n_frames: int, batch=None,
     L = resolut + (F-1)*window; Griffin-Lim with the config's iteration
     count. Keys seed the per-example init noise; ``momentum`` > 0 bakes the
     fast-GL update into the artifact (benchmarks/RESULTS.md "GL momentum").
+
+    Serving recommendation (measured equal-quality pairs,
+    ops.griffinlim.recommended_gl): for a plain-GL(n) quality target at
+    n >= 16, export with ``momentum=0.99`` and ``griffin_lim_iterations``
+    from ``recommended_gl(n)`` — e.g. momentum-24 matches plain-64 at 2.7x
+    less wall-clock; at the reference default n=2 keep the config as is.
     """
     c = config
     inv = jnp.asarray(inverse_mel_weights(c.n_bins, c.num_mels, c.mel_fmin,
@@ -256,7 +262,14 @@ def export_longform_mel_decoder(config: MelConfig, mesh, *, n_frames: int,
     inside the artifact (fold_in of the mesh axis indices). The interior
     transform backend is pinned EXPLICITLY (default True = direct-DFT
     matmuls, the measured TPU optimum) — the live path's trace-time
-    "auto_lowp" resolution would bake the BUILD host's backend (CLAUDE.md)."""
+    "auto_lowp" resolution would bake the BUILD host's backend (CLAUDE.md).
+
+    Serving recommendation for the long-form GL-64 class: export with
+    ``momentum=0.99`` and ``griffin_lim_iterations=24``
+    (ops.griffinlim.recommended_gl(64)) — matches-or-beats plain GL-64
+    convergence at 2.7x less wall-clock on tonal, speech-like, and
+    5-minute long-form inputs (benchmarks/exp_gl_frontier.py;
+    RESULTS.md)."""
     from .parallel import sharded as sh
     from .parallel.mesh import FRAME_AXIS
     c = config

@@ -85,6 +85,35 @@ def test_momentum_converges_faster(n_iter):
     assert r_fast < 0.8 * r_plain, (r_plain, r_fast)
 
 
+def test_equal_quality_pairs_rederive():
+    """Guard for the PACKAGED serving recommendation (VERDICT r3 item 4):
+    re-derive the measured equal-quality pairs cheaply — momentum-24 must
+    match-or-beat plain-64 and momentum-8 must match-or-beat plain-16 on
+    tonal input (benchmarks/exp_gl_frontier.py derivation; shipped as
+    ops.griffinlim.GL_EQUAL_QUALITY_PAIRS / recommended_gl and cited by
+    towav --help and the serving export docstrings). Deterministic: fixed
+    key, fixed input, CPU float64."""
+    from gomel_tpu.ops.griffinlim import (GL_EQUAL_QUALITY_PAIRS,
+                                          recommended_gl)
+
+    mag, _ = _consistent_mag(60)
+    key = jax.random.PRNGKey(0)
+
+    def conv(n_iter, momentum):
+        return _residual(mag, griffin_lim(mag, HOP, n_iter, key,
+                                          momentum=momentum))
+
+    for plain_n in (16, 64):
+        mom, k = GL_EQUAL_QUALITY_PAIRS[plain_n]
+        assert recommended_gl(plain_n) == (mom, k)
+        assert conv(k, mom) <= conv(plain_n, 0.0), (plain_n, mom, k)
+    # the GL-2 class has no reduction: momentum needs >= 2 iterations of
+    # history, and at equal cost momentum-2 must not be worse
+    assert recommended_gl(2) == GL_EQUAL_QUALITY_PAIRS[2] == (0.99, 2)
+    assert conv(2, 0.99) <= conv(2, 0.0) * 1.001
+    assert recommended_gl(1) == (0.0, 1)
+
+
 def test_momentum_through_mel_pipeline():
     """Mel.decode(momentum=...) runs and returns the right shape; the
     momentum kwarg reaches the GL loop (different output from plain)."""
