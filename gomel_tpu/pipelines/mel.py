@@ -14,8 +14,6 @@ Reference method map:
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,24 +25,6 @@ from ..io import audio as audio_io
 from ..io import imagecodec
 from ..ops.mel_ops import mel_encode, mel_decode
 from ..ops.stft import auto_frame_chunk, hann_window
-
-
-@functools.partial(jax.jit, static_argnames=("num_mels", "frame_len", "hop",
-                                             "frame_chunk"))
-def _encode_jit(x, fwd_w, window, num_mels, frame_len, hop,
-                frame_chunk=None):
-    return mel_encode(x, num_mels, frame_len, hop, fwd_w, window,
-                      frame_chunk=frame_chunk)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("frame_len", "hop", "n_iter",
-                                    "tune_mul", "tune_add", "momentum"))
-def _decode_jit(logmel, inv_w, key, frame_len, hop, n_iter,
-                tune_mul, tune_add, momentum=0.0):
-    # window=None -> Hann, folded into the mm-path DFT weights on TPU
-    return mel_decode(logmel, frame_len, hop, inv_w, n_iter, key,
-                      tune_mul, tune_add, None, momentum=momentum)
 
 
 class Mel:
@@ -67,6 +47,12 @@ class Mel:
         self._fwd = None
         self._inv = None
         self._window = None
+        # per-instance jitted codecs CLOSE OVER the weight constants: the
+        # filterbank bakes into the HLO instead of arriving as an argument —
+        # measured +15% on the single-file serving-shape encode (the same
+        # constant-weights win the batch/sharded paths get; decode measured
+        # par, bit-identical). One trace per (frame_chunk / momentum) value.
+        self._fn_cache: dict = {}
 
     # -- cached device constants ------------------------------------------
     def _weights(self):
@@ -86,6 +72,28 @@ class Mel:
                                        dtype=self.dtype)
         return self._window
 
+    def _encode_fn(self, frame_chunk):
+        key = ("enc", frame_chunk)
+        if key not in self._fn_cache:
+            c = self.config
+            fwd, _ = self._weights()
+            win = self._win()
+            self._fn_cache[key] = jax.jit(lambda x: mel_encode(
+                x, c.num_mels, c.resolut, c.window, fwd, win,
+                frame_chunk=frame_chunk))
+        return self._fn_cache[key]
+
+    def _decode_fn(self, momentum):
+        key = ("dec", float(momentum))
+        if key not in self._fn_cache:
+            c = self.config
+            _, inv = self._weights()
+            # window=None -> Hann, folded into the mm-path DFT weights on TPU
+            self._fn_cache[key] = jax.jit(lambda lm, k: mel_decode(
+                lm, c.resolut, c.window, inv, c.griffin_lim_iterations, k,
+                c.tune_mul, c.tune_add, None, momentum=float(momentum)))
+        return self._fn_cache[key]
+
     # -- device-level API ---------------------------------------------------
     def encode(self, x) -> jax.Array:
         """Padded-or-raw audio -> log-mel [F, num_mels, 2] (device array).
@@ -101,13 +109,11 @@ class Mel:
         padded = pad_length(len(x), self.config.window)
         if padded != len(x):
             x = np.pad(x, (0, padded - len(x)))
-        fwd, _ = self._weights()
         c = self.config
         # hour-scale inputs: chunked analysis keeps per-chunk intermediates
         # VMEM-resident (ops/stft.auto_frame_chunk)
         fc = auto_frame_chunk(num_frames(len(x), c.resolut, c.window))
-        return _encode_jit(jnp.asarray(x, dtype=self.dtype), fwd, self._win(),
-                           c.num_mels, c.resolut, c.window, frame_chunk=fc)
+        return self._encode_fn(fc)(jnp.asarray(x, dtype=self.dtype))
 
     def decode(self, logmel, seed: int = 0, momentum: float = 0.0) -> jax.Array:
         """log-mel [F, num_mels, 2] -> audio (device array), Griffin-Lim.
@@ -119,7 +125,6 @@ class Mel:
         iterations for equal spectral convergence; 0.0 is exact reference
         behavior.
         """
-        _, inv = self._weights()
         c = self.config
         logmel = jnp.asarray(logmel, dtype=self.dtype)
         if logmel.ndim >= 2 and logmel.shape[-2] != c.num_mels:
@@ -134,9 +139,7 @@ class Mel:
                 f"MelConfig.cli_default() uses 192 mels, bare MelConfig() "
                 f"uses the NewMel default 160)")
         key = jax.random.PRNGKey(seed)
-        return _decode_jit(logmel, inv, key, c.resolut, c.window,
-                           c.griffin_lim_iterations, c.tune_mul, c.tune_add,
-                           momentum=momentum)
+        return self._decode_fn(momentum)(logmel, key)
 
     # -- reference-layout API ------------------------------------------------
     def to_mel(self, buf) -> np.ndarray:
