@@ -70,9 +70,11 @@ def dump_buffer_u16(spec: np.ndarray) -> np.ndarray:
 
 
 def save_mel_image(path: str, spec: np.ndarray, y_reverse: bool,
-                   samples_in_mel: float, sample_rate: float) -> None:
+                   samples_in_mel: float, sample_rate: float,
+                   compress_level: int = 3) -> None:
     """Write a mel spectrogram [F, num_mels, 2] as 8-bit RGBA PNG
-    (reference ``dumpimage``: /root/reference/mel/impl.go:127-193)."""
+    (reference ``dumpimage``: /root/reference/mel/impl.go:127-193).
+    ``compress_level``: lossless deflate speed/size trade (pngcodec.write_png)."""
     spec = np.asarray(spec, dtype=np.float64)
     n_frames, mels, _ = spec.shape
     mgc_max = float(spec.max())
@@ -90,7 +92,7 @@ def save_mel_image(path: str, spec: np.ndarray, y_reverse: bool,
     img[meta_start:, 0, 2] = np.frombuffer(meta, dtype=np.uint8)
     if y_reverse:
         img = img[::-1, :, :]
-    write_png(path, img)
+    write_png(path, img, compress_level=compress_level)
 
 
 def load_mel_image(path: str, y_reverse: bool) -> tuple[np.ndarray, float, float]:
@@ -122,12 +124,13 @@ def load_mel_image(path: str, y_reverse: bool) -> tuple[np.ndarray, float, float
 def save_phase_image(path: str, spec: np.ndarray, y_reverse: bool,
                      samples_in_mel: float, sample_rate: float,
                      ihs_passes: int = 0, hdr: bool = False,
-                     layout: str = "go") -> None:
+                     layout: str = "go", compress_level: int = 3) -> None:
     """Write a phase spectrogram [F, num_freqs, 2] as PNG.
 
     layout="go": 16-byte metadata, B = -val0 hint, RGBA (NRGBA/NRGBA64 parity,
     /root/reference/phase/impl.go:168-278).
     layout="py": 12-byte metadata, B = 0, RGB (/root/reference/phase.py:643-747).
+    ``compress_level``: lossless deflate speed/size trade (pngcodec.write_png).
     """
     spec = np.asarray(spec, dtype=np.float64)
     for _ in range(ihs_passes):
@@ -161,7 +164,7 @@ def save_phase_image(path: str, spec: np.ndarray, y_reverse: bool,
     img[meta_start:, 0, 2] = np.frombuffer(meta, dtype=np.uint8).astype(dtype)
     if y_reverse:
         img = img[::-1, :, :]
-    write_png(path, img)
+    write_png(path, img, compress_level=compress_level)
 
 
 def _detect_phase_layout(img: np.ndarray) -> str:

@@ -134,3 +134,19 @@ class TestWavCodec:
         from gomel_tpu.io.audio import load_wav
         buf, _ = load_wav(p)
         assert abs(buf[3] - (8388607 << 8) / 2**31) < 1e-9
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_compress_level_lossless(tmp_path, dtype):
+    """Deflate level is an encoder-private speed/size knob — every level
+    must decode to identical pixels (and stay PIL-readable for 8-bit)."""
+    img = _rand((41, 29, 4), dtype, seed=3)
+    got = {}
+    for lvl in (0, 1, 3, 6, 9):
+        p = str(tmp_path / f"l{lvl}.png")
+        write_png(p, img, compress_level=lvl)
+        got[lvl] = read_png(p)
+        np.testing.assert_array_equal(got[lvl], img)
+    if dtype == np.uint8:
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(str(tmp_path / "l1.png"))), img)
