@@ -116,6 +116,12 @@ def _phase_parser(prog: str, png_input: bool) -> argparse.ArgumentParser:
     p.add_argument("--volume-boost", type=float, default=d.volume_boost)
     p.add_argument("--ihs", action="store_true")
     p.add_argument("--hdr", action="store_true")
+    if not png_input:
+        p.add_argument("--device-quantize", action="store_true",
+                       help="fuse PNG quantization into the device encode "
+                            "program (+40-60%% single-stream file encode; "
+                            "output is byte-near, not byte-identical, to "
+                            "the host quantizer — ops/quantize.py)")
     if png_input:
         p.add_argument("--sample-rate", type=int, default=0,
                        help="override output rate (reference fromphase "
@@ -131,7 +137,8 @@ def _phase_from_args(a, sample_rate: int = 0) -> Phase:
     return Phase(PhaseConfig(
         num_freqs=a.num_freqs, window=a.window, resolut=a.resolut,
         y_reverse=True, volume_boost=a.volume_boost, ihs=a.ihs, hdr=a.hdr,
-        sample_rate=sample_rate))
+        sample_rate=sample_rate),
+        device_quantize=getattr(a, "device_quantize", False))
 
 
 def tophase(argv: Optional[Sequence[str]] = None) -> int:

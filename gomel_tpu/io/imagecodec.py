@@ -167,6 +167,49 @@ def save_phase_image(path: str, spec: np.ndarray, y_reverse: bool,
     write_png(path, img, compress_level=compress_level)
 
 
+def save_phase_image_quantized(path: str, img2: np.ndarray, maxs, mins,
+                               y_reverse: bool, samples_in_mel: float,
+                               sample_rate: float, hdr: bool = False,
+                               layout: str = "go",
+                               compress_level: int = 3) -> None:
+    """Assemble + write a phase PNG from DEVICE-quantized planes
+    (ops/quantize.quantize_planes): img2 is [nf, F, 2] uint8/uint16 in image
+    layout; maxs/mins are the per-channel pre-normalization extrema. Only
+    host work left: the derived B channel, metadata bytes, y flip, deflate.
+    Byte-compatible with save_phase_image output (same readers)."""
+    nf, n_frames, _ = img2.shape
+    max_val = 65535 if hdr else 255
+    dtype = np.uint16 if hdr else np.uint8
+    if img2.dtype != dtype:
+        raise ValueError(f"expected {dtype} planes for hdr={hdr}, "
+                         f"got {img2.dtype}")
+    channels = 4 if layout == "go" else 3
+    img = np.zeros((nf, n_frames, channels), dtype=dtype)
+    img[:, :, 0] = img2[:, :, 0]
+    img[:, :, 1] = img2[:, :, 1]
+    if layout == "go":
+        # B = trunc(max_val * -norm0) & max_val == (-v0) & max_val because
+        # trunc is odd and v0 = trunc(max_val * norm0) is unclipped for
+        # norm0 in [0, 1] (phase/impl.go:229,256)
+        img[:, :, 2] = ((-img2[:, :, 0].astype(np.int64)) & max_val
+                        ).astype(dtype)
+        img[:, :, 3] = max_val
+        meta = pack_floats([float(maxs[0]), float(maxs[1]), 0.0,
+                            float(mins[0]), float(mins[1]), 0.0,
+                            samples_in_mel, sample_rate])
+    elif layout == "py":
+        meta = pack_floats([float(maxs[0]), float(maxs[1]),
+                            float(mins[0]), float(mins[1]),
+                            samples_in_mel, sample_rate])
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    meta_start = nf - len(meta)
+    img[meta_start:, 0, 2] = np.frombuffer(meta, dtype=np.uint8).astype(dtype)
+    if y_reverse:
+        img = img[::-1, :, :]
+    write_png(path, img, compress_level=compress_level)
+
+
 def _detect_phase_layout(img: np.ndarray) -> str:
     """Layout detection for ``layout="auto"``.
 

@@ -1,0 +1,63 @@
+"""Device-side PNG quantization — fuse the image quantizer into the encoder.
+
+The file-level encode path (Phase.to_phase_wav) historically read the full
+float32 spectrogram back to host ([F, num_freqs, 2] — ~14 MB for 30 s at
+the CLI config) and quantized there (io/imagecodec.save_phase_image). The
+quantizer is pure elementwise work plus a global per-channel min/max — an
+ideal device fusion: running it inside the same jit as the encoder cuts
+host<->device traffic 4x (8-bit: two uint8 planes instead of two float32
+channels) and removes the host-side normalize/trunc pass entirely.
+
+Byte parity: the host path quantizes in float64, this path in float32 (TPU
+native). trunc(max_val * norm) can flip by one quantization step when the
+f32 vs f64 rounding of norm straddles an integer boundary — measured rate
+~1e-5 of pixels (tests/test_device_quantize.py asserts <=1 step, rare).
+The B (conjugate-hint) channel and metadata bytes are assembled HOST-side
+from the returned planes/extrema, byte-identically to the host quantizer:
+B = (-v0) & max_val needs only the quantized v0 because trunc is odd
+(trunc(-x) == -trunc(x); /root/reference/phase/impl.go:229,256).
+
+Reference quantizer semantics reproduced (phase/impl.go:168-278):
+truncation toward zero, clip to [0, max_val], degenerate-range channels
+pinned at norm = 0.5, asinh IHS passes applied pre-quantization.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_planes(spec2: jax.Array, max_val: int, ihs_passes: int = 0
+                    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Quantize a phase spectrogram [F, nf, 2] to image planes on device.
+
+    Returns (img2 [nf, F, 2] uint8|uint16 in image (row=bin) layout,
+    maxs [2] f32, mins [2] f32). maxs/mins are the PRE-normalization
+    per-channel extrema after IHS — exactly what the PNG metadata stores
+    (phase/impl.go:198-222).
+    """
+    for _ in range(ihs_passes):
+        spec2 = jnp.arcsinh(spec2)
+    maxs = spec2.max(axis=(0, 1))
+    mins = spec2.min(axis=(0, 1))
+    rng = maxs - mins
+    norm = jnp.where(rng > 0,
+                     (spec2 - mins) / jnp.where(rng > 0, rng, 1.0), 0.5)
+    q = jnp.clip(jnp.trunc(max_val * norm), 0, max_val)
+    dtype = jnp.uint16 if max_val > 255 else jnp.uint8
+    return q.transpose(1, 0, 2).astype(dtype), maxs, mins
+
+
+def quantize_mel_plane(spec2: jax.Array, max_val: int = 255
+                       ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Mel variant: GLOBAL (not per-channel) min/max (mel/impl.go:138-152).
+
+    Returns (img2 [mels, F, 2] uint8, mgc_max scalar, mgc_min scalar).
+    Degenerate range pins norm at 0.5 like the host writer."""
+    mgc_max = spec2.max()
+    mgc_min = spec2.min()
+    rng = mgc_max - mgc_min
+    norm = jnp.where(rng > 0,
+                     (spec2 - mgc_min) / jnp.where(rng > 0, rng, 1.0), 0.5)
+    q = jnp.clip(jnp.trunc(max_val * norm), 0, max_val)
+    return q.transpose(1, 0, 2).astype(jnp.uint8), mgc_max, mgc_min

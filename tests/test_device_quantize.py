@@ -1,0 +1,116 @@
+"""Device-fused PNG quantization (ops/quantize.py) vs the host quantizer.
+
+The fused path must produce byte-near images (<=1 quantization step, rare
+flips from f32-vs-f64 trunc boundaries), identical metadata, and readable
+files — the readers can't tell which writer produced an image.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gomel_tpu.io import imagecodec
+from gomel_tpu.io.pngcodec import read_png
+from gomel_tpu.ops.quantize import quantize_planes, quantize_mel_plane
+from gomel_tpu.pipelines.phase import Phase
+
+
+def _audio(secs=1.5, sr=48000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(secs * sr)) / sr
+    return (0.5 * np.sin(2 * np.pi * 220 * t)
+            + 0.05 * rng.standard_normal(t.shape))
+
+
+@pytest.mark.parametrize("hdr,ihs,layout", [
+    (False, True, "go"), (False, False, "py"),
+    (True, False, "go"), (True, False, "py"),
+])
+def test_device_vs_host_bytes(tmp_path, hdr, ihs, layout):
+    buf = _audio()
+    host = Phase(sample_rate=48000, hdr=hdr, ihs=ihs,
+                 metadata_layout=layout)
+    dev = Phase(sample_rate=48000, hdr=hdr, ihs=ihs,
+                metadata_layout=layout, device_quantize=True)
+    p_host = str(tmp_path / "host.png")
+    p_dev = str(tmp_path / "dev.png")
+    from gomel_tpu.io.audio import save_wav
+    wav = str(tmp_path / "in.wav")
+    save_wav(wav, buf, 48000)
+    host.to_phase_wav(wav, p_host)
+    dev.to_phase_wav(wav, p_dev)
+
+    a, b = read_png(p_host), read_png(p_dev)
+    assert a.shape == b.shape and a.dtype == b.dtype
+    # quantized planes: off by at most one step, and rarely
+    diff = np.abs(a.astype(np.int64) - b.astype(np.int64))
+    max_step = 1 if not hdr else 2  # 16-bit: f32 has ~2^-23 ulp at 65535
+    # the derived B channel wraps, so -1 vs 0 shows as max_val — measure
+    # wrap-aware distance
+    max_val = 65535 if hdr else 255
+    diff = np.minimum(diff, (max_val + 1) - diff)
+    assert diff.max() <= max_step, f"max pixel diff {diff.max()}"
+    assert (diff > 0).mean() < 2e-3
+
+    # metadata + decoded content agree (the real contract)
+    sa = imagecodec.load_phase_image(p_host, True, 2 if ihs else 0, hdr,
+                                     layout=layout)
+    sb = imagecodec.load_phase_image(p_dev, True, 2 if ihs else 0, hdr,
+                                     layout=layout)
+    assert sa[1] == pytest.approx(sb[1])  # samples
+    assert sa[2] == pytest.approx(sb[2])  # sr
+    assert sa[3] == sb[3]                 # num_freqs
+    scale = max(1e-12, float(np.abs(sa[0]).max()))
+    assert np.abs(sa[0] - sb[0]).max() / scale < (1e-2 if hdr else 2e-2)
+
+
+def test_quantize_planes_matches_host_quantizer():
+    rng = np.random.default_rng(1)
+    spec = rng.standard_normal((37, 64, 2)) * 3.0
+    img2, maxs, mins = quantize_planes(jnp.asarray(spec, jnp.float32), 255, 2)
+    img2 = np.asarray(img2)
+    # host reference on the same f32 values (isolates layout/trunc logic
+    # from f32-vs-f64 normalization noise)
+    s = np.arcsinh(np.arcsinh(spec.astype(np.float32)))
+    hx, hn = s.max(axis=(0, 1)), s.min(axis=(0, 1))
+    norm = (s - hn) / (hx - hn)
+    host = np.clip(np.trunc(255 * norm), 0, 255).astype(np.uint8)
+    np.testing.assert_allclose(np.asarray(maxs), hx, rtol=1e-6)
+    mismatch = (img2 != host.transpose(1, 0, 2)).mean()
+    assert mismatch < 2e-3, mismatch
+
+
+def test_quantize_planes_degenerate_channel():
+    spec = np.zeros((5, 8, 2), np.float32)
+    spec[:, :, 1] = np.linspace(0, 1, 40).reshape(5, 8)
+    img2, maxs, mins = quantize_planes(jnp.asarray(spec), 255, 0)
+    img2 = np.asarray(img2)
+    assert (img2[:, :, 0] == 127).all()  # norm pinned at 0.5 -> trunc 127
+    assert img2[:, :, 1].min() == 0 and img2[:, :, 1].max() == 255
+
+
+def test_quantize_mel_plane_global_minmax():
+    rng = np.random.default_rng(2)
+    spec = rng.standard_normal((23, 48, 2)).astype(np.float32)
+    img2, mx, mn = quantize_mel_plane(jnp.asarray(spec))
+    assert float(mx) == pytest.approx(spec.max(), rel=1e-6)
+    host_norm = (spec - spec.min()) / (spec.max() - spec.min())
+    host = np.clip(np.trunc(255 * host_norm), 0, 255).astype(np.uint8)
+    assert (np.asarray(img2) != host.transpose(1, 0, 2)).mean() < 2e-3
+
+
+def test_device_quantized_roundtrip(tmp_path):
+    """Full WAV -> PNG (device quantize) -> WAV: same reconstruction
+    quality contract as the host path."""
+    from gomel_tpu.io.audio import save_wav, load_wav
+    buf = _audio(secs=2.0)
+    wav = str(tmp_path / "in.wav")
+    png = str(tmp_path / "p.png")
+    out = str(tmp_path / "out.wav")
+    save_wav(wav, buf, 48000)
+    Phase(sample_rate=48000, device_quantize=True).to_phase_wav(wav, png)
+    Phase(sample_rate=48000).to_wav_png(png, out)
+    rec, _ = load_wav(out)
+    n = min(len(rec), len(buf))
+    corr = np.corrcoef(buf[4096:n - 4096], rec[4096:n - 4096])[0, 1]
+    assert corr > 0.99, corr
