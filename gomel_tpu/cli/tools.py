@@ -116,12 +116,12 @@ def _phase_parser(prog: str, png_input: bool) -> argparse.ArgumentParser:
     p.add_argument("--volume-boost", type=float, default=d.volume_boost)
     p.add_argument("--ihs", action="store_true")
     p.add_argument("--hdr", action="store_true")
-    if not png_input:
-        p.add_argument("--device-quantize", action="store_true",
-                       help="fuse PNG quantization into the device encode "
-                            "program (+40-60%% single-stream file encode; "
-                            "output is byte-near, not byte-identical, to "
-                            "the host quantizer — ops/quantize.py)")
+    p.add_argument("--device-quantize", action="store_true",
+                   help="fuse PNG (de)quantization into the device program "
+                        "(+40-60%% single-stream file encode; 4x less "
+                        "host<->device traffic both directions; output is "
+                        "byte-near, not byte-identical, to the host "
+                        "quantizer — ops/quantize.py)")
     if png_input:
         p.add_argument("--sample-rate", type=int, default=0,
                        help="override output rate (reference fromphase "

@@ -252,12 +252,30 @@ def _detect_phase_layout(img: np.ndarray) -> str:
     return "py"
 
 
-def load_phase_image(path: str, y_reverse: bool, ihs_passes: int = 0,
-                     hdr: bool = False, layout: str = "auto"
-                     ) -> tuple[np.ndarray, float, float, int]:
-    """Read a phase PNG -> (spec [F, num_freqs, 2], samples, sample_rate,
-    num_freqs). Reference: /root/reference/phase/impl.go:51-153 (Go layout) and
-    /root/reference/phase.py:750-852 (Python layout)."""
+def load_phase_image_raw(path: str, y_reverse: bool, hdr: bool = False,
+                         layout: str = "auto"
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                    float, float, int]:
+    """Read a phase PNG WITHOUT de-quantizing: returns (planes [nf, F, 2]
+    uint8|uint16, maxs [2], mins [2], samples, sample_rate, num_freqs).
+
+    The device-dequantize fast path (ops/quantize.dequantize_planes,
+    Phase(device_quantize=True).to_wav_png) uploads these integer planes —
+    4x (8-bit) / 2x (HDR) less host->device traffic than the float
+    spectrogram — and runs rescale + sinh-undo + decode in one program.
+    """
+    (r, g, max0, max1, min0, min1, samples_in_mel, sr, nf,
+     n_frames, _max_val) = _load_phase_planes(path, y_reverse, hdr, layout)
+    planes = np.stack([r, g], axis=-1)  # [nf, F, 2] integer
+    return (planes, np.array([max0, max1]), np.array([min0, min1]),
+            samples_in_mel * n_frames, sr, nf)
+
+
+def _load_phase_planes(path: str, y_reverse: bool, hdr: bool,
+                       layout: str):
+    """Shared PNG read + metadata unpack: returns INTEGER r/g planes
+    [nf, F] plus unpacked metadata (the common prefix of the host and
+    device de-quantization paths)."""
     img = read_png(path)
     img = _at_least_rgb(img)
     if y_reverse:
@@ -279,8 +297,8 @@ def load_phase_image(path: str, y_reverse: bool, ihs_passes: int = 0,
             raise ValueError("expected 16-bit PNG for HDR load")
         blue_bytes = (img[:, 0, 2] & 0xFF).astype(np.uint8)
         max_val = 65535.0
-        r = img[:, :, 0].astype(np.float64)
-        g = img[:, :, 1].astype(np.float64)
+        r = img[:, :, 0]
+        g = img[:, :, 1]
     else:
         if img.dtype == np.uint16:
             img8 = (img >> 8).astype(np.uint8)
@@ -288,8 +306,8 @@ def load_phase_image(path: str, y_reverse: bool, ihs_passes: int = 0,
             img8 = img
         blue_bytes = img8[:, 0, 2]
         max_val = 255.0
-        r = img8[:, :, 0].astype(np.float64)
-        g = img8[:, :, 1].astype(np.float64)
+        r = img8[:, :, 0]
+        g = img8[:, :, 1]
 
     if layout == "go":
         meta = bytes(blue_bytes[nf - GO_PHASE_META_BYTES:].tolist())
@@ -299,9 +317,20 @@ def load_phase_image(path: str, y_reverse: bool, ihs_passes: int = 0,
         meta = bytes(blue_bytes[nf - PY_PHASE_META_BYTES:].tolist())
         vals = unpack_floats(meta, 6)
         max0, max1, min0, min1, samples_in_mel, sr = vals
+    return (r, g, max0, max1, min0, min1, samples_in_mel, sr, nf,
+            n_frames, max_val)
 
-    val0 = r / max_val
-    val1 = g / max_val
+
+def load_phase_image(path: str, y_reverse: bool, ihs_passes: int = 0,
+                     hdr: bool = False, layout: str = "auto"
+                     ) -> tuple[np.ndarray, float, float, int]:
+    """Read a phase PNG -> (spec [F, num_freqs, 2], samples, sample_rate,
+    num_freqs). Reference: /root/reference/phase/impl.go:51-153 (Go layout) and
+    /root/reference/phase.py:750-852 (Python layout)."""
+    (r, g, max0, max1, min0, min1, samples_in_mel, sr, nf,
+     n_frames, max_val) = _load_phase_planes(path, y_reverse, hdr, layout)
+    val0 = r.astype(np.float64) / max_val
+    val1 = g.astype(np.float64) / max_val
     spec = np.stack([val0.T, val1.T], axis=-1)  # [F, nf, 2]
     spec[:, :, 0] = spec[:, :, 0] * (max0 - min0) + min0
     spec[:, :, 1] = spec[:, :, 1] * (max1 - min1) + min1

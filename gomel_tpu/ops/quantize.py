@@ -48,6 +48,18 @@ def quantize_planes(spec2: jax.Array, max_val: int, ihs_passes: int = 0
     return q.transpose(1, 0, 2).astype(dtype), maxs, mins
 
 
+def dequantize_planes(img2: jax.Array, maxs: jax.Array, mins: jax.Array,
+                      max_val: int, ihs_passes: int = 0) -> jax.Array:
+    """Inverse of :func:`quantize_planes` for the decode fast path: integer
+    image planes [nf, F, 2] -> spectrogram [F, nf, 2] float32 (rescale per
+    channel + sinh IHS undo, phase/impl.go:109-147), on device."""
+    spec = img2.astype(jnp.float32).transpose(1, 0, 2) / float(max_val)
+    spec = spec * (maxs - mins).astype(jnp.float32) + mins.astype(jnp.float32)
+    for _ in range(ihs_passes):
+        spec = jnp.sinh(spec)
+    return spec
+
+
 def quantize_mel_plane(spec2: jax.Array, max_val: int = 255
                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Mel variant: GLOBAL (not per-channel) min/max (mel/impl.go:138-152).

@@ -31,7 +31,7 @@ from ..core.framing import is_padded, num_frames, pad_length
 from ..io import audio as audio_io
 from ..io import imagecodec
 from ..ops.phase_ops import phase_encode, phase_decode
-from ..ops.quantize import quantize_planes
+from ..ops.quantize import dequantize_planes, quantize_planes
 from ..ops.resample import zero_stuff_upsample
 from ..ops.stft import auto_frame_chunk, hann_window
 
@@ -53,6 +53,18 @@ def _encode_quantize_jit(x, window, num_freqs, frame_len, hop,
     spec = phase_encode(x, num_freqs, frame_len, hop, window,
                         frame_chunk=frame_chunk)
     return quantize_planes(spec, max_val, ihs_passes)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_len", "hop",
+                                             "volume_boost", "frame_chunk",
+                                             "max_val", "ihs_passes"))
+def _dequantize_decode_jit(img2, maxs, mins, frame_len, hop, volume_boost,
+                           frame_chunk, max_val, ihs_passes):
+    # de-quantize + decode in ONE device program: only integer planes and
+    # the extrema pairs are uploaded (ops/quantize.dequantize_planes)
+    spec = dequantize_planes(img2, maxs, mins, max_val, ihs_passes)
+    return phase_decode(spec, frame_len, hop, volume_boost, None,
+                        frame_chunk=frame_chunk)
 
 
 @functools.partial(jax.jit,
@@ -254,14 +266,29 @@ class Phase:
         (48000/44100) when the object has none configured. ``layout`` picks
         the metadata layout of the input image ("go"/"py"; "auto" detects —
         see imagecodec._detect_phase_layout)."""
-        spec, samples, sr, nf = imagecodec.load_phase_image(
-            input_file, self.config.y_reverse, self.config.ihs_passes,
-            self.config.hdr, layout=layout)
+        if self.device_quantize:
+            planes, maxs, mins, samples, sr, nf = \
+                imagecodec.load_phase_image_raw(
+                    input_file, self.config.y_reverse, self.config.hdr,
+                    layout=layout)
+        else:
+            spec, samples, sr, nf = imagecodec.load_phase_image(
+                input_file, self.config.y_reverse, self.config.ihs_passes,
+                self.config.hdr, layout=layout)
         if nf != self.config.num_freqs:
             # adopt the image's bin count (port behavior, phase.py:329)
             import dataclasses
             self.config = dataclasses.replace(self.config, num_freqs=nf)
-        wave = np.asarray(self.decode(spec), dtype=np.float64)
+        if self.device_quantize:
+            c = self.config
+            fc = auto_frame_chunk(planes.shape[1])
+            wave = np.asarray(_dequantize_decode_jit(
+                jnp.asarray(planes), jnp.asarray(maxs, jnp.float32),
+                jnp.asarray(mins, jnp.float32), c.resolut, c.window,
+                float(c.volume_boost), fc, 65535 if c.hdr else 255,
+                c.ihs_passes), dtype=np.float64)
+        else:
+            wave = np.asarray(self.decode(spec), dtype=np.float64)
         samples_i = int(samples)
         if samples_i > 0 and is_padded(samples_i, len(wave), self.config.window) \
                 and len(wave) > samples_i:

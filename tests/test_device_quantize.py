@@ -114,3 +114,49 @@ def test_device_quantized_roundtrip(tmp_path):
     n = min(len(rec), len(buf))
     corr = np.corrcoef(buf[4096:n - 4096], rec[4096:n - 4096])[0, 1]
     assert corr > 0.99, corr
+
+
+@pytest.mark.parametrize("hdr,ihs", [(False, True), (True, False)])
+def test_device_dequantize_decode_matches_host(tmp_path, hdr, ihs):
+    """to_wav_png with device_quantize uploads integer planes and fuses
+    rescale + sinh undo + decode; the written WAV must match the host
+    de-quantization path within PCM-16 rounding."""
+    from gomel_tpu.io.audio import save_wav, load_wav
+    buf = _audio(secs=1.5, seed=4)
+    wav = str(tmp_path / "in.wav")
+    png = str(tmp_path / "p.png")
+    save_wav(wav, buf, 48000)
+    Phase(sample_rate=48000, hdr=hdr, ihs=ihs).to_phase_wav(wav, png)
+    out_h = str(tmp_path / "h.wav")
+    out_d = str(tmp_path / "d.wav")
+    Phase(sample_rate=48000, hdr=hdr, ihs=ihs).to_wav_png(png, out_h)
+    Phase(sample_rate=48000, hdr=hdr, ihs=ihs,
+          device_quantize=True).to_wav_png(png, out_d)
+    a, _ = load_wav(out_h)
+    b, _ = load_wav(out_d)
+    assert a.shape == b.shape
+    # f32-vs-f64 de-quantization noise under PCM-16: at most 1 LSB; the
+    # double-sinh IHS undo amplifies f32 noise enough that a few percent
+    # of samples sit on a rounding boundary
+    lsb = np.abs(a - b) * 32768.0
+    assert lsb.max() <= 1.0 + 1e-9
+    assert (lsb > 0.5).mean() < 5e-2
+
+
+def test_load_phase_image_raw_consistent(tmp_path):
+    """raw loader returns exactly the planes/extrema that reproduce the
+    host loader's spectrogram."""
+    buf = _audio(secs=1.0, seed=5)
+    from gomel_tpu.io.audio import save_wav
+    wav = str(tmp_path / "in.wav")
+    png = str(tmp_path / "p.png")
+    save_wav(wav, buf, 48000)
+    Phase(sample_rate=48000).to_phase_wav(wav, png)
+    spec, samples, sr, nf = imagecodec.load_phase_image(png, True, 2, False)
+    planes, maxs, mins, samples2, sr2, nf2 = \
+        imagecodec.load_phase_image_raw(png, True, False)
+    assert (samples, sr, nf) == (samples2, sr2, nf2)
+    re = planes.astype(np.float64).transpose(1, 0, 2) / 255.0
+    re = re * (maxs - mins) + mins
+    re = np.sinh(np.sinh(re))
+    np.testing.assert_allclose(re, spec, rtol=0, atol=1e-12)
