@@ -126,13 +126,16 @@ def main() -> None:
     print(f"our backend: {jax.default_backend()} "
           f"({getattr(jax.devices()[0], 'device_kind', '?')})",
           file=sys.stderr)
-    ours = Phase(sample_rate=sr, metadata_layout="py", length_mode="py")
+    ours = Phase(sample_rate=sr, metadata_layout="py", length_mode="py",
+                 device_quantize=True)
     our_png = os.path.join(args.outdir, "ours.png")
     our_out = os.path.join(args.outdir, "ours_out.wav")
     ours.to_phase_wav(in_wav, our_png)  # warm-up: compile both directions
-    Phase(sample_rate=sr, metadata_layout="py").to_wav_png(our_png, our_out)
+    Phase(sample_rate=sr, metadata_layout="py",
+          device_quantize=True).to_wav_png(our_png, our_out)
     t_oenc = _time(lambda: ours.to_phase_wav(in_wav, our_png), repeats=3)
-    t_odec = _time(lambda: Phase(sample_rate=sr, metadata_layout="py")
+    t_odec = _time(lambda: Phase(sample_rate=sr, metadata_layout="py",
+                                 device_quantize=True)
                    .to_wav_png(our_png, our_out), repeats=3)
     # buffer level, single call: includes the full host->device upload and
     # the [F, nf, 2] spectrogram read-back. On the axon TUNNEL those
