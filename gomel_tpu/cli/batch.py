@@ -26,7 +26,16 @@ from ..io import imagecodec
 from ..io.audio import save_wav
 from ..io.dataset import AudioDataset, list_audio_files
 from ..ops.resample import zero_stuff_upsample
-from ..parallel.batch import BatchedMel, BatchedPhase
+from ..parallel.batch import BatchedMel, BatchedPhase, make_buckets
+
+
+def _add_devq_flag(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--device-quantize", action="store_true",
+                   help="fuse PNG (de)quantization into the batched device "
+                        "program (ops/quantize.py): only integer planes "
+                        "cross the host boundary; per-row extrema masked to "
+                        "each file's true frames (byte-near, not "
+                        "byte-identical, to the host quantizer)")
 
 
 def _add_shard_flag(p: argparse.ArgumentParser) -> None:
@@ -113,6 +122,7 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--window", type=int, default=1280)
     p.add_argument("--resolut", type=int, default=4096)
     p.add_argument("--fmax", type=float, default=16000.0)
+    _add_devq_flag(p)
     a = p.parse_args(argv)
 
     cfg = MelConfig(num_mels=a.num_mels, mel_fmax=a.fmax, y_reverse=True,
@@ -127,11 +137,27 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
     utts = [np.asarray(buf, np.float32) for _, buf, _ in items]
     n_done = 0
     used: set = set()
-    for bucket, logmel in bm.encode_buckets(utts, max_batch=a.max_batch):
-        spec_np = np.asarray(logmel, dtype=np.float64)
+    for bucket in make_buckets(utts, cfg.window, max_batch=a.max_batch):
+        frames = np.asarray(
+            [frames_for_padded(int(L), cfg.window, cfg.resolut)
+             for L in bucket.lengths], np.int32)
+        if a.device_quantize:
+            img2b, mxb, mnb = bm.encode_quantized(bucket.audio, frames)
+            img2b, mxb, mnb = (np.asarray(img2b), np.asarray(mxb),
+                               np.asarray(mnb))
+            for row, i in enumerate(bucket.indices):
+                path, buf, sr = items[i]
+                f = int(frames[row])
+                imagecodec.save_mel_image_quantized(
+                    _out_path(path, a.out_dir, used), img2b[row][:, :f],
+                    float(mxb[row]), float(mnb[row]), cfg.y_reverse,
+                    float(len(buf)) / f, float(sr))
+                n_done += 1
+            continue
+        spec_np = np.asarray(bm.encode(bucket.audio), dtype=np.float64)
         for row, i in enumerate(bucket.indices):
             path, buf, sr = items[i]
-            f = frames_for_padded(len(buf), cfg.window, cfg.resolut)
+            f = int(frames[row])
             spec = spec_np[row, :f]
             imagecodec.save_mel_image(
                 _out_path(path, a.out_dir, used), spec, cfg.y_reverse,
@@ -158,6 +184,7 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--resolut", type=int, default=4096)
     p.add_argument("--hdr", action="store_true")
     p.add_argument("--ihs", action="store_true")
+    _add_devq_flag(p)
     a = p.parse_args(argv)
 
     files = _apply_shard(_collect(a.inputs), a)
@@ -185,11 +212,28 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
                           y_reverse=True, ihs=a.ihs, hdr=a.hdr)
         bp = BatchedPhase(cfg)
         utts = [np.asarray(buf, np.float32) for _, buf, _, _ in items]
-        for bucket, spec in bp.encode_buckets(utts, max_batch=a.max_batch):
-            spec_np = np.asarray(spec, dtype=np.float64)
+        for bucket in make_buckets(utts, cfg.window, max_batch=a.max_batch):
+            frames = np.asarray(
+                [frames_for_padded(int(L), cfg.window, cfg.resolut)
+                 for L in bucket.lengths], np.int32)
+            if a.device_quantize:
+                img2b, mxb, mnb = bp.encode_quantized(bucket.audio, frames)
+                img2b, mxb, mnb = (np.asarray(img2b), np.asarray(mxb),
+                                   np.asarray(mnb))
+                for row, i in enumerate(bucket.indices):
+                    path, buf, original, sr = items[i]
+                    f = int(frames[row])
+                    imagecodec.save_phase_image_quantized(
+                        _out_path(path, a.out_dir, used), img2b[row][:, :f],
+                        mxb[row], mnb[row], cfg.y_reverse,
+                        float(original) / f, float(sr), cfg.hdr,
+                        layout="go")
+                    n_done += 1
+                continue
+            spec_np = np.asarray(bp.encode(bucket.audio), dtype=np.float64)
             for row, i in enumerate(bucket.indices):
                 path, buf, original, sr = items[i]
-                f = frames_for_padded(len(buf), cfg.window, cfg.resolut)
+                f = int(frames[row])
                 s = spec_np[row, :f]
                 # samples_in_mel uses the PRE-upsample length (Go semantics,
                 # phase/phase.go:202-215)
@@ -255,6 +299,7 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
                    default="auto",
                    help="metadata layout of the input PNGs: 'go' 16-byte, "
                         "'py' 12-byte port layout; 'auto' detects")
+    _add_devq_flag(p)
     a = p.parse_args(argv)
 
     files = _apply_shard(_collect_pngs(a.inputs), a)
@@ -264,13 +309,20 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
     groups: dict[tuple, list] = {}
     for path in files:
         try:
-            spec, samples, sr, nf = imagecodec.load_phase_image(
-                path, True, ihs_passes, a.hdr, layout=a.metadata_layout)
+            if a.device_quantize:
+                planes, maxs, mins, samples, sr, nf = \
+                    imagecodec.load_phase_image_raw(
+                        path, True, a.hdr, layout=a.metadata_layout)
+                groups.setdefault((nf, planes.shape[1]), []).append(
+                    (path, (planes, maxs, mins), samples, sr))
+            else:
+                spec, samples, sr, nf = imagecodec.load_phase_image(
+                    path, True, ihs_passes, a.hdr, layout=a.metadata_layout)
+                groups.setdefault((nf, spec.shape[0]), []).append(
+                    (path, spec, samples, sr))
         except Exception as e:
             print(f"skipping {path}: {e}", file=sys.stderr)
             continue
-        groups.setdefault((nf, spec.shape[0]), []).append(
-            (path, spec, samples, sr))
 
     n_done = 0
     used: set = set()
@@ -281,8 +333,15 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
         bp = BatchedPhase(cfg)
         for s in range(0, len(items), a.max_batch):
             chunk = items[s:s + a.max_batch]
-            batch = np.stack([spec for _, spec, _, _ in chunk])
-            wavs = np.asarray(bp.decode(batch), dtype=np.float64)
+            if a.device_quantize:
+                wavs = np.asarray(bp.decode_quantized(
+                    np.stack([p for _, (p, _, _), _, _ in chunk]),
+                    np.stack([mx for _, (_, mx, _), _, _ in chunk]),
+                    np.stack([mn for _, (_, _, mn), _, _ in chunk])),
+                    dtype=np.float64)
+            else:
+                batch = np.stack([spec for _, spec, _, _ in chunk])
+                wavs = np.asarray(bp.decode(batch), dtype=np.float64)
             for row, (path, _, samples, sr) in enumerate(chunk):
                 wave = wavs[row]
                 samples_i = int(samples)
@@ -318,6 +377,7 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
                         "0.99 with 24 iterations beats plain 64 at 2.5x "
                         "throughput, benchmarks/RESULTS.md)")
     p.add_argument("--volume-boost", type=float, default=0.0)
+    _add_devq_flag(p)
     a = p.parse_args(argv)
 
     files = _apply_shard(_collect_pngs(a.inputs), a)
@@ -329,6 +389,16 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
     groups: dict[int, list] = {}
     for path in files:
         try:
+            if a.device_quantize:
+                planes, mx, mn, samples, sr = imagecodec.load_mel_image_raw(
+                    path, True)
+                if planes.shape[0] != cfg.num_mels:
+                    print(f"skipping {path}: {planes.shape[0]} mels != "
+                          f"{cfg.num_mels}", file=sys.stderr)
+                    continue
+                groups.setdefault(planes.shape[1], []).append(
+                    (path, (planes, mx, mn), samples, sr))
+                continue
             spec, samples, sr = imagecodec.load_mel_image(path, True)
         except Exception as e:
             print(f"skipping {path}: {e}", file=sys.stderr)
@@ -347,8 +417,16 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
     for frames, items in groups.items():
         for s in range(0, len(items), a.max_batch):
             chunk = items[s:s + a.max_batch]
-            batch = np.stack([spec for _, spec, _, _ in chunk])
-            wavs = np.asarray(bm.decode(batch, seed=a.seed), dtype=np.float64)
+            if a.device_quantize:
+                wavs = np.asarray(bm.decode_quantized(
+                    np.stack([p for _, (p, _, _), _, _ in chunk]),
+                    np.asarray([mx for _, (_, mx, _), _, _ in chunk]),
+                    np.asarray([mn for _, (_, _, mn), _, _ in chunk]),
+                    seed=a.seed, boost=a.volume_boost), dtype=np.float64)
+            else:
+                batch = np.stack([spec for _, spec, _, _ in chunk])
+                wavs = np.asarray(bm.decode(batch, seed=a.seed),
+                                  dtype=np.float64)
             for row, (path, _, samples, sr) in enumerate(chunk):
                 wave = wavs[row]
                 samples_i = int(samples)

@@ -61,6 +61,11 @@ def _mel_parser(prog: str, png_input: bool) -> argparse.ArgumentParser:
     p.add_argument("--griffin-lim-iterations", type=int,
                    default=d.griffin_lim_iterations)
     p.add_argument("--volume-boost", type=float, default=d.volume_boost)
+    p.add_argument("--device-quantize", action="store_true",
+                   help="fuse PNG (de)quantization into the device program "
+                        "(8x less host<->device traffic on file paths; "
+                        "output is byte-near, not byte-identical, to the "
+                        "host quantizer — ops/quantize.py)")
     return p
 
 
@@ -69,7 +74,8 @@ def _mel_from_args(a, sample_rate: int = 0) -> Mel:
         num_mels=a.num_mels, mel_fmin=0.0, mel_fmax=a.fmax, y_reverse=True,
         window=a.window, resolut=a.resolut,
         griffin_lim_iterations=a.griffin_lim_iterations,
-        volume_boost=a.volume_boost, sample_rate=sample_rate))
+        volume_boost=a.volume_boost, sample_rate=sample_rate),
+        device_quantize=getattr(a, "device_quantize", False))
 
 
 def tomel(argv: Optional[Sequence[str]] = None) -> int:

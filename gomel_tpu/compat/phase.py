@@ -37,7 +37,7 @@ class Phase:
 
     def __init__(self, sample_rate=None, num_freqs=None, window=1280,
                  resolut=4096, y_reverse=True, volume_boost=0.0, HDR=False,
-                 IHS=False):
+                 IHS=False, device_quantize=False):
         self.sample_rate = sample_rate
         self.window = window
         self.resolut = resolut
@@ -46,6 +46,11 @@ class Phase:
         self.HDR = HDR
         # the port stores IHS as a pass count (phase.py:41)
         self.IHS = 0 if HDR else 2 if IHS else 0
+        # EXTENSION beyond the port surface (default off = exact port
+        # behavior): fuse the PNG (de)quantizer into the device programs on
+        # the file paths (ops/quantize.py) — byte-near, not byte-identical
+        # (tests/test_compat_file_fuzz.py fuzzes this leg vs the port)
+        self.device_quantize = device_quantize
         self.num_freqs = 0
         self.family = None
         if sample_rate is not None:
@@ -87,7 +92,7 @@ class Phase:
     # -- core transforms (phase.py:113-220) --------------------------------
     def _engine(self) -> _TpuPhase:
         key = (self.num_freqs, self.window, self.resolut, self.y_reverse,
-               self.volume_boost, self.HDR)
+               self.volume_boost, self.HDR, self.IHS, self.device_quantize)
         cached = getattr(self, "_engine_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -95,8 +100,9 @@ class Phase:
             num_freqs=self.num_freqs, window=self.window,
             resolut=self.resolut, y_reverse=self.y_reverse,
             volume_boost=self.volume_boost if self.volume_boost > 0 else 0.0,
-            hdr=self.HDR)
-        eng = _TpuPhase(cfg, metadata_layout="py", length_mode="py")
+            hdr=self.HDR, ihs=self.IHS > 0)
+        eng = _TpuPhase(cfg, metadata_layout="py", length_mode="py",
+                        device_quantize=self.device_quantize)
         self._engine_cache = (key, eng)
         return eng
 
@@ -127,19 +133,40 @@ class Phase:
             len(spectrogram))
         return spectrogram, samples_in_mel, sample_rate
 
+    def _encode_file(self, audio, sample_rate, output_file,
+                     rescale_sr: bool):
+        if not self.device_quantize:
+            spec, simel, sr = self._encode_common(audio, sample_rate,
+                                                  rescale_sr)
+            save_image(output_file, spec, self.num_freqs, simel, sr,
+                       self.y_reverse, self.HDR, self.IHS)
+            return
+        # device path: same orchestration, but encode + PNG quantizer run
+        # as ONE device program (pipelines.Phase.encode_quantized) and only
+        # integer planes cross the host boundary
+        self.reconfigure_sr(sample_rate=sample_rate)
+        zp, zs = self.pad_shift(sample_rate)
+        if zp > 0:
+            original_len = len(audio)
+            audio = zero_stuff_upsample(audio, zp, zs)
+            if rescale_sr:
+                sample_rate = int(sample_rate * len(audio) / original_len)
+        img2, maxs, mins = self._engine().encode_quantized(
+            np.asarray(audio, np.float64))
+        img2 = np.asarray(img2)
+        samples_in_mel = float(len(audio)) / img2.shape[1]
+        _imagecodec.save_phase_image_quantized(
+            output_file, img2, np.asarray(maxs), np.asarray(mins),
+            self.y_reverse, samples_in_mel, float(sample_rate), self.HDR,
+            layout="py")
+
     def to_phase_wav(self, input_file, output_file):
         audio, sample_rate = load_wav_with_sr(input_file)
-        spec, simel, sr = self._encode_common(audio, sample_rate,
-                                              rescale_sr=False)
-        save_image(output_file, spec, self.num_freqs, simel, sr,
-                   self.y_reverse, self.HDR, self.IHS)
+        self._encode_file(audio, sample_rate, output_file, rescale_sr=False)
 
     def to_phase_flac(self, input_file, output_file):
         audio, sample_rate = load_flac_with_sr(input_file)
-        spec, simel, sr = self._encode_common(audio, sample_rate,
-                                              rescale_sr=True)
-        save_image(output_file, spec, self.num_freqs, simel, sr,
-                   self.y_reverse, self.HDR, self.IHS)
+        self._encode_file(audio, sample_rate, output_file, rescale_sr=True)
 
     def to_tensor_flac(self, input_file):
         audio, sample_rate = load_flac_with_sr(input_file)
@@ -147,9 +174,19 @@ class Phase:
         return spec
 
     def to_wav_png(self, input_file, output_file):
-        spectrogram, samples, embedded_sample_rate, self.num_freqs = \
-            load_image(input_file, self.y_reverse, self.HDR, self.IHS)
-        audio = self.from_phase(spectrogram)
+        if self.device_quantize:
+            planes, maxs, mins, samples, embedded_sample_rate, nf = \
+                _imagecodec.load_phase_image_raw(
+                    input_file, self.y_reverse, self.HDR, layout="py")
+            self.num_freqs = nf
+            embedded_sample_rate = int(embedded_sample_rate)
+            audio = np.asarray(
+                self._engine().decode_quantized(planes, maxs, mins),
+                dtype=np.float64)
+        else:
+            spectrogram, samples, embedded_sample_rate, self.num_freqs = \
+                load_image(input_file, self.y_reverse, self.HDR, self.IHS)
+            audio = self.from_phase(spectrogram)
         main_rate = 48000 if self.num_freqs in [768, 768 * 2] else 44100
         standard_rates = [8000, 11025, 16000, 22050, 24000, 32000, 44100, 48000]
         sample_rate = min(standard_rates,

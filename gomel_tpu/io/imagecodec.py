@@ -95,6 +95,61 @@ def save_mel_image(path: str, spec: np.ndarray, y_reverse: bool,
     write_png(path, img, compress_level=compress_level)
 
 
+def save_mel_image_quantized(path: str, img2: np.ndarray, mgc_max: float,
+                             mgc_min: float, y_reverse: bool,
+                             samples_in_mel: float, sample_rate: float,
+                             compress_level: int = 3) -> None:
+    """Assemble + write a mel PNG from DEVICE-quantized planes
+    (ops/quantize.quantize_mel_plane): img2 is [mels, F, 2] uint8 in image
+    layout; mgc_max/mgc_min are the global pre-normalization extrema. Only
+    host work left: metadata bytes, y flip, deflate. Byte-compatible with
+    save_mel_image output (same reader, mel/impl.go:52-118)."""
+    if img2.dtype != np.uint8:
+        raise ValueError(f"expected uint8 mel planes, got {img2.dtype}")
+    mels, n_frames, _ = img2.shape
+    img = np.zeros((mels, n_frames, 4), dtype=np.uint8)
+    img[:, :, 0] = img2[:, :, 0]
+    img[:, :, 1] = img2[:, :, 1]
+    img[:, :, 3] = 255
+    meta = pack_floats([float(mgc_max), float(mgc_min), samples_in_mel,
+                        sample_rate])
+    meta_start = mels - len(meta)
+    img[meta_start:, 0, 2] = np.frombuffer(meta, dtype=np.uint8)
+    if y_reverse:
+        img = img[::-1, :, :]
+    write_png(path, img, compress_level=compress_level)
+
+
+def load_mel_image_raw(path: str, y_reverse: bool
+                       ) -> tuple[np.ndarray, float, float, float, float]:
+    """Read a mel PNG WITHOUT de-quantizing: returns (planes [mels, F, 2]
+    uint8, mgc_max, mgc_min, samples, sample_rate), including the legacy
+    ``max == samples_in_mel`` guard (mel/impl.go:105-107).
+
+    The device-dequantize fast path (ops/quantize.dequantize_mel_plane,
+    Mel(device_quantize=True).to_wav_png) uploads these integer planes —
+    8x less host->device traffic than the float64 spectrogram — and runs
+    rescale + boost + Griffin-Lim decode in one program."""
+    img = read_png(path)
+    img = _at_least_rgb(img)
+    if y_reverse:
+        img = img[::-1, :, :]
+    mels, n_frames = img.shape[0], img.shape[1]
+    if mels < MEL_META_BYTES:
+        raise ValueError(
+            f"mel image too small for its metadata layout: {mels} rows < "
+            f"{MEL_META_BYTES}-byte metadata block")
+    if img.dtype == np.uint16:
+        img = (img >> 8).astype(np.uint8)
+    meta_start = mels - MEL_META_BYTES
+    meta = bytes(img[meta_start:, 0, 2].tolist())
+    mgc_max, mgc_min, samples_in_mel, sr = unpack_floats(meta, 4)
+    if mgc_max == samples_in_mel:
+        samples_in_mel = 0.0  # legacy guard (mel/impl.go:105-107)
+    planes = np.stack([img[:, :, 0], img[:, :, 1]], axis=-1)  # [mels, F, 2]
+    return planes, mgc_max, mgc_min, samples_in_mel * n_frames, sr
+
+
 def load_mel_image(path: str, y_reverse: bool) -> tuple[np.ndarray, float, float]:
     """Read a mel PNG -> (spec [F, num_mels, 2], samples, sample_rate)
     (reference ``loadpng``: /root/reference/mel/impl.go:52-118), including the

@@ -73,3 +73,107 @@ def quantize_mel_plane(spec2: jax.Array, max_val: int = 255
                      (spec2 - mgc_min) / jnp.where(rng > 0, rng, 1.0), 0.5)
     q = jnp.clip(jnp.trunc(max_val * norm), 0, max_val)
     return q.transpose(1, 0, 2).astype(jnp.uint8), mgc_max, mgc_min
+
+
+def dequantize_mel_plane(img2: jax.Array, mgc_max: jax.Array,
+                         mgc_min: jax.Array, max_val: int = 255) -> jax.Array:
+    """Inverse of :func:`quantize_mel_plane` for the mel decode fast path:
+    integer planes [mels, F, 2] -> log-mel [F, mels, 2] float32 via the
+    GLOBAL min/max rescale (mel/impl.go:109-116), on device."""
+    spec = img2.astype(jnp.float32).transpose(1, 0, 2) / float(max_val)
+    return spec * (mgc_max - mgc_min).astype(jnp.float32) \
+        + mgc_min.astype(jnp.float32)
+
+
+# -- batched variants (per-ROW extrema: each batch row is its own image) ----
+#
+# Batches are length-bucketed (parallel/batch.py): rows share a padded frame
+# count but differ in TRUE frame count. The extrema that define each row's
+# quantization grid must come from the row's REAL frames only (the host path
+# slices to the true count before quantizing, cli/batch.py) — so the batch
+# quantizers take an optional per-row ``frames`` vector and mask the padding
+# frames out of the max/min. Quantized values in the padding region are
+# meaningless and are sliced off host-side before the PNG write.
+
+def _masked_extrema(spec2: jax.Array, n_frames, axes):
+    """Per-channel (or global, axes=None) extrema over the first n_frames
+    frames of [F, ..., 2]."""
+    mask = (jnp.arange(spec2.shape[0]) < n_frames).reshape(
+        (-1,) + (1,) * (spec2.ndim - 1))
+    big = jnp.asarray(jnp.finfo(spec2.dtype).max, spec2.dtype)
+    mx = jnp.where(mask, spec2, -big)
+    mn = jnp.where(mask, spec2, big)
+    if axes is None:
+        return mx.max(), mn.min()
+    return mx.max(axis=axes), mn.min(axis=axes)
+
+
+def _quantize_planes_masked(spec2, n_frames, max_val, ihs_passes):
+    for _ in range(ihs_passes):
+        spec2 = jnp.arcsinh(spec2)
+    maxs, mins = _masked_extrema(spec2, n_frames, (0, 1))
+    rng = maxs - mins
+    norm = jnp.where(rng > 0,
+                     (spec2 - mins) / jnp.where(rng > 0, rng, 1.0), 0.5)
+    q = jnp.clip(jnp.trunc(max_val * norm), 0, max_val)
+    dtype = jnp.uint16 if max_val > 255 else jnp.uint8
+    return q.transpose(1, 0, 2).astype(dtype), maxs, mins
+
+
+def _quantize_mel_masked(spec2, n_frames, max_val):
+    mgc_max, mgc_min = _masked_extrema(spec2, n_frames, None)
+    rng = mgc_max - mgc_min
+    norm = jnp.where(rng > 0,
+                     (spec2 - mgc_min) / jnp.where(rng > 0, rng, 1.0), 0.5)
+    q = jnp.clip(jnp.trunc(max_val * norm), 0, max_val)
+    return q.transpose(1, 0, 2).astype(jnp.uint8), mgc_max, mgc_min
+
+
+def quantize_planes_batch(spec2b: jax.Array, max_val: int,
+                          ihs_passes: int = 0, frames: jax.Array | None = None
+                          ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched :func:`quantize_planes`: [B, F, nf, 2] -> (img2 [B, nf, F, 2],
+    maxs [B, 2], mins [B, 2]). Each row gets its OWN per-channel extrema —
+    rows are independent files, exactly as if quantized one at a time
+    (phase/impl.go:198-222 per invocation). ``frames`` [B]: per-row true
+    frame counts for length-bucketed batches (extrema exclude pad frames)."""
+    if frames is None:
+        return jax.vmap(
+            lambda s: quantize_planes(s, max_val, ihs_passes))(spec2b)
+    return jax.vmap(
+        lambda s, n: _quantize_planes_masked(s, n, max_val, ihs_passes)
+    )(spec2b, jnp.asarray(frames))
+
+
+def dequantize_planes_batch(img2b: jax.Array, maxs: jax.Array,
+                            mins: jax.Array, max_val: int,
+                            ihs_passes: int = 0) -> jax.Array:
+    """Batched :func:`dequantize_planes`: [B, nf, F, 2] + [B, 2]-extrema ->
+    [B, F, nf, 2] float32."""
+    return jax.vmap(
+        lambda i, mx, mn: dequantize_planes(i, mx, mn, max_val, ihs_passes)
+    )(img2b, maxs, mins)
+
+
+def quantize_mel_plane_batch(spec2b: jax.Array, max_val: int = 255,
+                             frames: jax.Array | None = None
+                             ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched :func:`quantize_mel_plane`: [B, F, mels, 2] ->
+    (img2 [B, mels, F, 2] uint8, mgc_max [B], mgc_min [B]) with per-row
+    GLOBAL extrema (one file per row, mel/impl.go:138-152). ``frames`` [B]:
+    per-row true frame counts (extrema exclude pad frames)."""
+    if frames is None:
+        return jax.vmap(lambda s: quantize_mel_plane(s, max_val))(spec2b)
+    return jax.vmap(
+        lambda s, n: _quantize_mel_masked(s, n, max_val)
+    )(spec2b, jnp.asarray(frames))
+
+
+def dequantize_mel_plane_batch(img2b: jax.Array, mgc_max: jax.Array,
+                               mgc_min: jax.Array,
+                               max_val: int = 255) -> jax.Array:
+    """Batched :func:`dequantize_mel_plane`: [B, mels, F, 2] + [B] extrema ->
+    [B, F, mels, 2] float32."""
+    return jax.vmap(
+        lambda i, mx, mn: dequantize_mel_plane(i, mx, mn, max_val)
+    )(img2b, mgc_max, mgc_min)

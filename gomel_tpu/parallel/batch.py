@@ -31,6 +31,8 @@ from ..core.framing import pad_length
 from ..core.filterbank import mel_weights, inverse_mel_weights
 from ..ops.mel_ops import mel_decode, mel_encode_batch
 from ..ops.phase_ops import phase_decode, phase_encode
+from ..ops.quantize import (dequantize_mel_plane, dequantize_planes,
+                            quantize_mel_plane_batch, quantize_planes_batch)
 from ..ops.stft import hann_window
 from .mesh import (DATA_AXIS, host_to_global, local_rows_to_global,
                    process_local_batch_multiple)
@@ -164,12 +166,13 @@ class _BatchedBase:
         else:
             self._row_multiple = 1
 
-    def _pad_rows(self, arr):
+    def _pad_rows(self, arr, dtype=None):
         """Pad the batch dim to the row multiple; return (arr, true_rows).
         Host-side numpy on multi-process meshes (no device staging)."""
         host = self._multiproc
-        arr = (np.asarray(arr, dtype=self.dtype) if host
-               else jnp.asarray(arr, dtype=self.dtype))
+        dtype = self.dtype if dtype is None else dtype
+        arr = (np.asarray(arr, dtype=dtype) if host
+               else jnp.asarray(arr, dtype=dtype))
         b = arr.shape[0]
         target = -(-b // self._row_multiple) * self._row_multiple
         if target != b:
@@ -184,12 +187,12 @@ class _BatchedBase:
             return local_rows_to_global(arr, self.mesh, P(DATA_AXIS))
         return host_to_global(arr, self.mesh, P(DATA_AXIS))
 
-    def _ingest(self, arr):
+    def _ingest(self, arr, dtype=None):
         """Host batch -> (sharded array, true_rows). An already-global array
         (e.g. this object's encode result on a pod) passes through."""
         if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
             return arr, arr.shape[0]
-        arr, b = self._pad_rows(arr)
+        arr, b = self._pad_rows(arr, dtype=dtype)
         return self._shard(arr), b
 
     def _row_keys(self, n_global: int, seed: int):
@@ -245,6 +248,10 @@ class BatchedMel(_BatchedBase):
                                     c.griffin_lim_iterations, k,
                                     c.tune_mul, c.tune_add, None,
                                     momentum=float(gl_momentum))))
+        self._gl_momentum = float(gl_momentum)
+        # device-quantize fast paths (built lazily on first use)
+        self._encode_q = None
+        self._decode_q: dict = {}
 
     def encode(self, audio_batch) -> jax.Array:
         """[B, L_pad] -> [B, F, num_mels, 2] log-mel (any B: padded
@@ -252,12 +259,61 @@ class BatchedMel(_BatchedBase):
         xg, b = self._ingest(audio_batch)
         return self._trim(self._encode(xg), b)
 
+    def encode_quantized(self, audio_batch, frames):
+        """[B, L_pad] + per-row TRUE frame counts [B] -> (img2 [B, mels,
+        F_pad, 2] uint8, mgc_max [B], mgc_min [B]): batched encode with the
+        PNG quantizer fused in (ops/quantize.quantize_mel_plane_batch).
+        Each row's extrema come from its real frames only — identical grid
+        to quantizing the file alone (mel/impl.go:138-152); slice each
+        row's planes to [:, :frames[i]] before writing."""
+        if self._encode_q is None:
+            c = self.config
+            self._encode_q = jax.jit(
+                lambda xb, fr: quantize_mel_plane_batch(
+                    mel_encode_batch(xb, c.num_mels, c.resolut, c.window,
+                                     self._fwd, self._window),
+                    255, frames=fr))
+        xg, b = self._ingest(audio_batch)
+        if np.asarray(frames).shape[0] != b:
+            raise ValueError(
+                f"frames has {np.asarray(frames).shape[0]} rows for a "
+                f"{b}-row batch")
+        fg, _ = self._ingest(frames, dtype=np.int32)
+        img2, mx, mn = self._encode_q(xg, fg)
+        return (self._trim(img2, b), self._trim(mx, b), self._trim(mn, b))
+
     def decode(self, logmel_batch, seed: int = 0) -> jax.Array:
         """[B, F, num_mels, 2] -> [B, out_len] via Griffin-Lim (per-row PRNG
         streams keyed by global row index)."""
         mg, b = self._ingest(logmel_batch)
         return self._trim(
             self._decode(mg, self._row_keys(mg.shape[0], seed)), b)
+
+    def decode_quantized(self, img2_batch, mgc_max, mgc_min, seed: int = 0,
+                         boost: float = 0.0) -> jax.Array:
+        """Integer PNG plane batch [B, mels, F, 2] uint8 + per-row extrema
+        [B] -> [B, out_len]: fused dequantize (+log-domain VolumeBoost,
+        mel/mel.go:218-221) + Griffin-Lim — only integer planes cross the
+        host boundary (imagecodec.load_mel_image_raw feeds this)."""
+        key = float(boost)
+        if key not in self._decode_q:
+            c = self.config
+
+            def fn(i, mx, mn, k):
+                lm = dequantize_mel_plane(i, mx, mn, 255)
+                if boost != 0.0:
+                    lm = lm + jnp.asarray(boost, lm.dtype)
+                return mel_decode(lm, c.resolut, c.window, self._inv,
+                                  c.griffin_lim_iterations, k,
+                                  c.tune_mul, c.tune_add, None,
+                                  momentum=self._gl_momentum)
+            self._decode_q[key] = jax.jit(jax.vmap(fn))
+        ig, b = self._ingest(img2_batch, dtype=np.uint8)
+        mxg, _ = self._ingest(mgc_max, dtype=np.float32)
+        mng, _ = self._ingest(mgc_min, dtype=np.float32)
+        return self._trim(
+            self._decode_q[key](ig, mxg, mng,
+                                self._row_keys(ig.shape[0], seed)), b)
 
     def encode_buckets(self, utterances: Sequence[np.ndarray],
                        max_batch: int = 64):
@@ -286,6 +342,9 @@ class BatchedPhase(_BatchedBase):
         self._decode = jax.jit(jax.vmap(
             lambda s: phase_decode(s, c.resolut, c.window,
                                    float(c.volume_boost), None)))
+        # device-quantize fast paths (built lazily on first use)
+        self._encode_q = None
+        self._decode_q = None
 
     def encode(self, audio_batch) -> jax.Array:
         """[B, L_pad] -> [B, F, num_freqs, 2] (any B: padded internally to
@@ -293,10 +352,55 @@ class BatchedPhase(_BatchedBase):
         xg, b = self._ingest(audio_batch)
         return self._trim(self._encode(xg), b)
 
+    def encode_quantized(self, audio_batch, frames):
+        """[B, L_pad] + per-row TRUE frame counts [B] -> (img2 [B, nf,
+        F_pad, 2] uint8|uint16, maxs [B, 2], mins [B, 2]): batched encode
+        with the PNG quantizer (incl. IHS passes) fused in
+        (ops/quantize.quantize_planes_batch). Per-row extrema come from the
+        row's real frames only — identical grid to quantizing each file
+        alone (phase/impl.go:198-222); slice planes to [:, :frames[i]]
+        before writing."""
+        if self._encode_q is None:
+            c = self.config
+            max_val = 65535 if c.hdr else 255
+            self._encode_q = jax.jit(
+                lambda xb, fr: quantize_planes_batch(
+                    jax.vmap(lambda x: phase_encode(
+                        x, c.num_freqs, c.resolut, c.window,
+                        self._window))(xb),
+                    max_val, c.ihs_passes, frames=fr))
+        xg, b = self._ingest(audio_batch)
+        if np.asarray(frames).shape[0] != b:
+            raise ValueError(
+                f"frames has {np.asarray(frames).shape[0]} rows for a "
+                f"{b}-row batch")
+        fg, _ = self._ingest(frames, dtype=np.int32)
+        img2, maxs, mins = self._encode_q(xg, fg)
+        return (self._trim(img2, b), self._trim(maxs, b),
+                self._trim(mins, b))
+
     def decode(self, spec_batch) -> jax.Array:
         """[B, F, num_freqs, 2] -> [B, out_len]."""
         sg, b = self._ingest(spec_batch)
         return self._trim(self._decode(sg), b)
+
+    def decode_quantized(self, img2_batch, maxs, mins) -> jax.Array:
+        """Integer PNG plane batch [B, nf, F, 2] + per-row extrema [B, 2]
+        -> [B, out_len]: fused dequantize (+sinh IHS undo) + decode — only
+        integer planes cross the host boundary
+        (imagecodec.load_phase_image_raw feeds this)."""
+        c = self.config
+        if self._decode_q is None:
+            max_val = 65535 if c.hdr else 255
+            self._decode_q = jax.jit(jax.vmap(
+                lambda i, mx, mn: phase_decode(
+                    dequantize_planes(i, mx, mn, max_val, c.ihs_passes),
+                    c.resolut, c.window, float(c.volume_boost), None)))
+        ig, b = self._ingest(
+            img2_batch, dtype=np.uint16 if c.hdr else np.uint8)
+        mxg, _ = self._ingest(maxs, dtype=np.float32)
+        mng, _ = self._ingest(mins, dtype=np.float32)
+        return self._trim(self._decode_q(ig, mxg, mng), b)
 
     def encode_buckets(self, utterances: Sequence[np.ndarray],
                        max_batch: int = 64):

@@ -23,11 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.config import MelConfig, PhaseConfig
+from ..core.config import MelConfig, PhaseConfig, ConfigError, pad_shift
 from ..core.filterbank import inverse_mel_weights, mel_weights
-from ..core.framing import num_frames, pad_length
+from ..core.framing import is_padded, num_frames, pad_length
+from ..io import audio as audio_io
+from ..io import imagecodec
 from ..ops.griffinlim import griffin_lim_magnitudes as _gl_magnitudes
 from ..ops.mel_ops import mel_to_linear as _mel_to_linear
+from ..ops.quantize import quantize_mel_plane, quantize_planes
+from ..ops.resample import zero_stuff_upsample
 from ..parallel import sharded as sh
 from ..parallel.mesh import DATA_AXIS, FRAME_AXIS, host_to_global
 
@@ -128,16 +132,34 @@ class _LongFormBase:
             return _trim_2d(result, b, n)
         return result[:b, :n]
 
+    def _require_single_controller(self, what: str) -> None:
+        """The file APIs read/write one host file — they need the whole
+        array addressable from this process (single controller; incl. the
+        virtual multi-device CPU mesh). On a real pod, orchestrate encode/
+        decode buffer-level + per-shard I/O instead
+        (examples/pod_longform_resume.py)."""
+        if self._multiproc:
+            raise ValueError(
+                f"{what} assembles the full file on one host; on "
+                f"multi-process meshes use the buffer-level encode/decode "
+                f"with per-shard I/O (docs/MULTIHOST.md)")
+
 
 class LongFormPhase(_LongFormBase):
     """Frame-sharded phase codec for long audio (parity target:
     /root/reference/phase/phase.go buffer APIs, scaled out)."""
 
     def __init__(self, config: PhaseConfig | None = None,
-                 mesh: Mesh | None = None, dtype=jnp.float32):
+                 mesh: Mesh | None = None, dtype=jnp.float32,
+                 device_quantize: bool = False):
         if mesh is None:
             raise ValueError("LongFormPhase requires a mesh")
         self.config = config or PhaseConfig()
+        # device_quantize: fuse the PNG (de)quantizer into the sharded
+        # programs on the file paths — the extrema reductions ride the mesh
+        # collectives and only integer planes cross the host boundary
+        # (the hour-scale spectrogram is the dominant transfer)
+        self.device_quantize = device_quantize
         super().__init__(mesh, self.config.window, self.config.resolut, dtype)
 
     def encode(self, x) -> jax.Array:
@@ -163,16 +185,122 @@ class LongFormPhase(_LongFormBase):
         spec_p, b = self._prep_frames(spec, plan)
         return self._trim(fn(spec_p), b, plan.out_len)
 
+    # -- file API (hour-scale equivalent of pipelines.phase.Phase;
+    #    reference surface: /root/reference/phase/phase.go:195-275) --------
+    def _encode_file(self, buf: np.ndarray, sr: int,
+                     output_file: str) -> None:
+        self._require_single_controller("LongFormPhase file encode")
+        c = self.config
+        original = len(buf)  # Go samples_in_mel numerator: PRE-upsample
+        zp, zs = pad_shift(int(sr))
+        if zp > 0:
+            buf = np.asarray(zero_stuff_upsample(buf, zp, zs))
+        spec = self.encode(buf)  # [1, F, nf, 2] global, sharded encode
+        n_frames = spec.shape[1]
+        samples_in_mel = float(original) / float(n_frames)
+        if self.device_quantize:
+            qfn = self._get(("quant", spec.shape[1]), lambda: jax.jit(
+                lambda s: quantize_planes(s[0], 65535 if c.hdr else 255,
+                                          c.ihs_passes)))
+            img2, maxs, mins = qfn(spec)
+            imagecodec.save_phase_image_quantized(
+                output_file, np.asarray(img2), np.asarray(maxs),
+                np.asarray(mins), c.y_reverse, samples_in_mel, float(sr),
+                c.hdr, layout="go")
+            return
+        imagecodec.save_phase_image(
+            output_file, np.asarray(spec[0], dtype=np.float64), c.y_reverse,
+            samples_in_mel, float(sr), c.ihs_passes, c.hdr, layout="go")
+
+    def to_phase_wav(self, input_file: str, output_file: str) -> None:
+        """WAV -> phase PNG, frame-sharded over the mesh (same file
+        orchestration as pipelines.phase.Phase.to_phase_wav — upsample,
+        samples_in_mel, Go metadata layout; phase/phase.go:221-244)."""
+        buf, sr = audio_io.load_wav(input_file, mono="left")
+        self._encode_file(buf, sr, output_file)
+
+    def to_phase_flac(self, input_file: str, output_file: str) -> None:
+        """FLAC -> phase PNG, frame-sharded (phase/phase.go:195-218;
+        1/32768 scaling)."""
+        buf, sr = audio_io.load_flac(input_file, mono="go_concat",
+                                     scaling="phase")
+        self._encode_file(buf, sr, output_file)
+
+    def to_wav_png(self, input_file: str, output_file: str,
+                   layout: str = "auto") -> int:
+        """phase PNG -> WAV, frame-sharded decode
+        (phase/phase.go:246-275). Returns the sample rate written."""
+        self._require_single_controller("LongFormPhase file decode")
+        c = self.config
+        if self.device_quantize:
+            planes, maxs, mins, samples, sr, nf = \
+                imagecodec.load_phase_image_raw(input_file, c.y_reverse,
+                                                c.hdr, layout=layout)
+            if nf != c.num_freqs:
+                import dataclasses
+                self.config = c = dataclasses.replace(c, num_freqs=nf)
+            # the plan derives from the TRUE frame count (the sharded
+            # decoder's real-frame mask depends on it); integer planes are
+            # padded/sharded on frames and de-quantized (+sinh undo) on
+            # device — pure elementwise on the [B, F, nf, 2] layout, the
+            # extrema broadcast over the trailing channel axis (same math
+            # as ops/quantize.dequantize_planes)
+            plan = self._plan_for_frames(planes.shape[1])
+            planes_p, b = self._pad_batch(sh.pad_frames_for_plan(
+                planes.transpose(1, 0, 2)[None], plan))
+            planes_g = self._put(planes_p,
+                                 P(DATA_AXIS, FRAME_AXIS, None, None))
+            max_val = 65535 if c.hdr else 255
+
+            def _build_deq():
+                def fn(i, mx, mn):
+                    s = i.astype(self.dtype) / max_val
+                    s = s * (mx - mn).astype(self.dtype) \
+                        + mn.astype(self.dtype)
+                    for _ in range(c.ihs_passes):
+                        s = jnp.sinh(s)
+                    return s
+                return jax.jit(fn)
+            deq = self._get(("deq", plan.n_frames_padded), _build_deq)
+            spec_g = deq(planes_g, jnp.asarray(maxs, jnp.float32),
+                         jnp.asarray(mins, jnp.float32))
+            fn = self._get(("dec", plan.n_frames_padded, plan.n_frames,
+                            float(c.volume_boost)), lambda: (
+                sh.sharded_phase_decode_fn(self.mesh, plan,
+                                           float(c.volume_boost),
+                                           self.dtype)))
+            wave = np.asarray(self._trim(fn(spec_g), b, plan.out_len)[0],
+                              dtype=np.float64)
+        else:
+            spec, samples, sr, nf = imagecodec.load_phase_image(
+                input_file, c.y_reverse, c.ihs_passes, c.hdr, layout=layout)
+            if nf != c.num_freqs:
+                import dataclasses
+                self.config = c = dataclasses.replace(c, num_freqs=nf)
+            wave = np.asarray(self.decode(spec[None])[0], dtype=np.float64)
+        samples_i = int(samples)
+        if samples_i > 0 and is_padded(samples_i, len(wave), c.window) \
+                and len(wave) > samples_i:
+            wave = wave[:samples_i]
+        out_sr = c.sample_rate
+        if sr != 0 and out_sr == 0:
+            out_sr = c.family_main_rate
+        audio_io.save_wav(output_file, wave, out_sr)
+        return out_sr
+
 
 class LongFormMel(_LongFormBase):
     """Frame-sharded mel codec with sharded Griffin-Lim (parity target:
     /root/reference/mel/mel.go buffer APIs, scaled out)."""
 
     def __init__(self, config: MelConfig | None = None,
-                 mesh: Mesh | None = None, dtype=jnp.float32):
+                 mesh: Mesh | None = None, dtype=jnp.float32,
+                 device_quantize: bool = False):
         if mesh is None:
             raise ValueError("LongFormMel requires a mesh")
         self.config = config or MelConfig()
+        # see LongFormPhase.device_quantize
+        self.device_quantize = device_quantize
         super().__init__(mesh, self.config.window, self.config.resolut, dtype)
         c = self.config
         self._fwd = mel_weights(c.n_bins, c.num_mels, c.mel_fmin, c.mel_fmax)
@@ -211,6 +339,114 @@ class LongFormMel(_LongFormBase):
         # key as a host value: every process passes the same seed (SPMD)
         key = np.asarray(jax.random.PRNGKey(seed))
         return self._trim(fn(logmel_p, key), b, plan.out_len)
+
+    # -- file API (hour-scale equivalent of pipelines.mel.Mel;
+    #    reference surface: /root/reference/mel/mel.go:176-238) ------------
+    def _samples_in_mel(self, input_len: int, n_frames: int) -> float:
+        return float(input_len) / float(n_frames)  # mel/mel.go:188,206
+
+    def _encode_file(self, buf: np.ndarray, sr: int,
+                     output_file: str) -> None:
+        self._require_single_controller("LongFormMel file encode")
+        c = self.config
+        spec = self.encode(buf)  # [1, F, mels, 2] global, sharded encode
+        n_frames = spec.shape[1]
+        if self.device_quantize:
+            qfn = self._get(("quant", n_frames), lambda: jax.jit(
+                lambda s: quantize_mel_plane(s[0], 255)))
+            img2, mx, mn = qfn(spec)
+            imagecodec.save_mel_image_quantized(
+                output_file, np.asarray(img2), float(mx), float(mn),
+                c.y_reverse, self._samples_in_mel(len(buf), n_frames),
+                float(sr))
+            return
+        imagecodec.save_mel_image(
+            output_file, np.asarray(spec[0], dtype=np.float64), c.y_reverse,
+            self._samples_in_mel(len(buf), n_frames), float(sr))
+
+    def to_mel_wav(self, input_file: str, output_file: str) -> None:
+        """WAV -> mel PNG, frame-sharded over the mesh (same orchestration
+        as pipelines.mel.Mel.to_mel_wav; mel/mel.go:194-209)."""
+        buf, sr = audio_io.load_wav(input_file, mono="left")
+        self._encode_file(buf, sr, output_file)
+
+    def to_mel_flac(self, input_file: str, output_file: str) -> None:
+        """FLAC -> mel PNG, frame-sharded (mel/mel.go:176-191; mel 1/65536
+        FLAC scaling)."""
+        buf, sr = audio_io.load_flac(input_file, mono="go_concat",
+                                     scaling="mel")
+        self._encode_file(buf, sr, output_file)
+
+    def to_wav_png(self, input_file: str, output_file: str, seed: int = 0,
+                   momentum: float = 0.0) -> int:
+        """mel PNG -> WAV via the frame-sharded Griffin-Lim decoder
+        (mel/mel.go:211-238). VolumeBoost is added in the log domain
+        pre-decode; trim + embedded-sample-rate rules match the single-chip
+        path. Returns the sample rate written."""
+        self._require_single_controller("LongFormMel file decode")
+        c = self.config
+        if self.device_quantize:
+            planes, mx, mn, samples, sr = imagecodec.load_mel_image_raw(
+                input_file, c.y_reverse)
+            if planes.shape[0] != c.num_mels:
+                raise ConfigError(
+                    f"spectrogram has {planes.shape[0]} mel bins but "
+                    f"config.num_mels={c.num_mels}; decode with the same "
+                    f"config the image was written with")
+            # true-frame plan (see LongFormPhase.to_wav_png): pad + shard
+            # the integer planes, de-quantize + boost sharded on device,
+            # then run the sharded GL decoder built on the SAME plan
+            plan = self._plan_for_frames(planes.shape[1])
+            planes_p, b = self._pad_batch(sh.pad_frames_for_plan(
+                planes.transpose(1, 0, 2)[None], plan))
+            planes_g = self._put(planes_p,
+                                 P(DATA_AXIS, FRAME_AXIS, None, None))
+            boost = float(c.volume_boost)
+
+            def _build_deq():
+                def fn(i, mxv, mnv):
+                    s = i.astype(self.dtype) / 255.0
+                    s = s * (mxv - mnv).astype(self.dtype) \
+                        + mnv.astype(self.dtype)
+                    if boost != 0.0:
+                        s = s + jnp.asarray(boost, s.dtype)
+                    return s
+                return jax.jit(fn)
+            deq = self._get(("deq", plan.n_frames_padded, boost), _build_deq)
+            logmel_g = deq(planes_g, jnp.asarray(mx, jnp.float32),
+                           jnp.asarray(mn, jnp.float32))
+            fn = self._get(("dec", plan.n_frames_padded, plan.n_frames,
+                            c.griffin_lim_iterations, momentum), lambda: (
+                sh.sharded_mel_decode_fn(self.mesh, plan, self._inv,
+                                         c.griffin_lim_iterations,
+                                         c.tune_mul, c.tune_add, self.dtype,
+                                         momentum=momentum)))
+            key = np.asarray(jax.random.PRNGKey(seed))
+            wave = np.asarray(
+                self._trim(fn(logmel_g, key), b, plan.out_len)[0],
+                dtype=np.float64)
+        else:
+            spec, samples, sr = imagecodec.load_mel_image(
+                input_file, c.y_reverse)
+            if spec.shape[1] != c.num_mels:
+                raise ConfigError(
+                    f"spectrogram has {spec.shape[1]} mel bins but "
+                    f"config.num_mels={c.num_mels}; decode with the same "
+                    f"config the image was written with")
+            if c.volume_boost != 0.0:
+                spec = spec + c.volume_boost
+            wave = np.asarray(self.decode(spec[None], seed=seed,
+                                          momentum=momentum)[0],
+                              dtype=np.float64)
+        samples_i = int(samples)
+        if samples_i > 0 and is_padded(samples_i, len(wave), c.window) \
+                and len(wave) > samples_i:
+            wave = wave[:samples_i]
+        out_sr = c.sample_rate
+        if sr != 0 and out_sr == 0:
+            out_sr = int(sr)
+        audio_io.save_wav(output_file, wave, out_sr)
+        return out_sr
 
     # -- resumable decode -----------------------------------------------------
 

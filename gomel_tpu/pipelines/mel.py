@@ -24,6 +24,7 @@ from ..core.framing import is_padded, num_frames, pad_length
 from ..io import audio as audio_io
 from ..io import imagecodec
 from ..ops.mel_ops import mel_encode, mel_decode
+from ..ops.quantize import dequantize_mel_plane, quantize_mel_plane
 from ..ops.stft import auto_frame_chunk, hann_window
 
 
@@ -36,7 +37,7 @@ class Mel:
     """
 
     def __init__(self, config: MelConfig | None = None, dtype=jnp.float32,
-                 **overrides):
+                 device_quantize: bool = False, **overrides):
         if config is None:
             config = MelConfig(**overrides)
         elif overrides:
@@ -44,6 +45,14 @@ class Mel:
             config = dataclasses.replace(config, **overrides)
         self.config = config
         self.dtype = dtype
+        # device_quantize: fuse the PNG (de)quantizer into the device
+        # programs (ops/quantize.py) — only uint8 planes + two extrema cross
+        # the host boundary on file paths (8x less traffic than the float64
+        # spectrogram). Opt-in: quantizes in f32 on device instead of f64 on
+        # host; rare (~1e-5) one-step trunc boundary flips make the output
+        # byte-near, not byte-identical, to the host quantizer (same policy
+        # as Phase(device_quantize=True); tests/test_device_quantize_mel.py).
+        self.device_quantize = device_quantize
         self._fwd = None
         self._inv = None
         self._window = None
@@ -94,6 +103,43 @@ class Mel:
                 c.tune_mul, c.tune_add, None, momentum=float(momentum)))
         return self._fn_cache[key]
 
+    def _encode_quantize_fn(self, frame_chunk):
+        # encode + PNG quantizer in ONE device program: only the uint8
+        # planes and the two global extrema cross the host boundary
+        key = ("encq", frame_chunk)
+        if key not in self._fn_cache:
+            c = self.config
+            fwd, _ = self._weights()
+            win = self._win()
+
+            def fn(x):
+                spec = mel_encode(x, c.num_mels, c.resolut, c.window, fwd,
+                                  win, frame_chunk=frame_chunk)
+                return quantize_mel_plane(spec, 255)
+            self._fn_cache[key] = jax.jit(fn)
+        return self._fn_cache[key]
+
+    def _dequantize_decode_fn(self, momentum, boost):
+        # de-quantize + boost + Griffin-Lim decode in ONE device program:
+        # only uint8 planes and the extrema are uploaded. VolumeBoost is
+        # added to the LOG-domain values pre-decode exactly like the host
+        # path (mel/mel.go:218-221).
+        key = ("decq", float(momentum), float(boost))
+        if key not in self._fn_cache:
+            c = self.config
+            _, inv = self._weights()
+
+            def fn(img2, mx, mn, k):
+                lm = dequantize_mel_plane(img2, mx, mn, 255)
+                if boost != 0.0:
+                    lm = lm + jnp.asarray(boost, lm.dtype)
+                return mel_decode(lm, c.resolut, c.window, inv,
+                                  c.griffin_lim_iterations, k,
+                                  c.tune_mul, c.tune_add, None,
+                                  momentum=float(momentum))
+            self._fn_cache[key] = jax.jit(fn)
+        return self._fn_cache[key]
+
     # -- device-level API ---------------------------------------------------
     def encode(self, x) -> jax.Array:
         """Padded-or-raw audio -> log-mel [F, num_mels, 2] (device array).
@@ -114,6 +160,24 @@ class Mel:
         # VMEM-resident (ops/stft.auto_frame_chunk)
         fc = auto_frame_chunk(num_frames(len(x), c.resolut, c.window))
         return self._encode_fn(fc)(jnp.asarray(x, dtype=self.dtype))
+
+    def encode_quantized(self, x):
+        """Audio -> (img2 [mels, F, 2] uint8, mgc_max, mgc_min): the encode
+        program with the PNG quantizer fused in (device arrays;
+        ops/quantize.quantize_mel_plane — GLOBAL min/max like the reference
+        writer, mel/impl.go:138-152)."""
+        x = np.asarray(x)
+        if x.ndim != 1:
+            raise ValueError(
+                f"Mel.encode_quantized takes a single [L] signal "
+                f"(got shape {x.shape}); use parallel.BatchedMel for "
+                f"[B, L] batches")
+        padded = pad_length(len(x), self.config.window)
+        if padded != len(x):
+            x = np.pad(x, (0, padded - len(x)))
+        c = self.config
+        fc = auto_frame_chunk(num_frames(len(x), c.resolut, c.window))
+        return self._encode_quantize_fn(fc)(jnp.asarray(x, dtype=self.dtype))
 
     def decode(self, logmel, seed: int = 0, momentum: float = 0.0) -> jax.Array:
         """log-mel [F, num_mels, 2] -> audio (device array), Griffin-Lim.
@@ -173,6 +237,14 @@ class Mel:
             n_frames * self.config.num_mels)
 
     def _to_mel_file(self, buf: np.ndarray, sr: int, output_file: str) -> None:
+        if self.device_quantize:
+            img2, mx, mn = self.encode_quantized(buf)
+            img2 = np.asarray(img2)
+            imagecodec.save_mel_image_quantized(
+                output_file, img2, float(mx), float(mn),
+                self.config.y_reverse,
+                self._samples_in_mel(len(buf), img2.shape[1]), float(sr))
+            return
         spec = np.asarray(self.encode(buf), dtype=np.float64)
         imagecodec.save_mel_image(
             output_file, spec, self.config.y_reverse,
@@ -219,12 +291,27 @@ class Mel:
         the embedded sample rate is used when none is configured. Returns the
         sample rate written. ``momentum`` > 0 opts into fast-GL
         (ops/griffinlim.py); 0.0 = exact reference behavior."""
-        spec, samples, sr = imagecodec.load_mel_image(
-            input_file, self.config.y_reverse)
-        if self.config.volume_boost != 0.0:
-            spec = spec + self.config.volume_boost
-        wave = np.asarray(self.decode(spec, seed=seed, momentum=momentum),
-                          dtype=np.float64)
+        c = self.config
+        if self.device_quantize:
+            planes, mx, mn, samples, sr = imagecodec.load_mel_image_raw(
+                input_file, c.y_reverse)
+            if planes.shape[0] != c.num_mels:
+                raise ConfigError(
+                    f"spectrogram has {planes.shape[0]} mel bins but "
+                    f"config.num_mels={c.num_mels}; decode with the same "
+                    f"config the image was written with")
+            fn = self._dequantize_decode_fn(momentum, c.volume_boost)
+            wave = np.asarray(fn(jnp.asarray(planes),
+                                 jnp.asarray(mx, jnp.float32),
+                                 jnp.asarray(mn, jnp.float32),
+                                 jax.random.PRNGKey(seed)), dtype=np.float64)
+        else:
+            spec, samples, sr = imagecodec.load_mel_image(
+                input_file, c.y_reverse)
+            if c.volume_boost != 0.0:
+                spec = spec + c.volume_boost
+            wave = np.asarray(self.decode(spec, seed=seed, momentum=momentum),
+                              dtype=np.float64)
         samples_i = int(samples)
         if samples_i > 0 and is_padded(samples_i, len(wave), self.config.window) \
                 and len(wave) > samples_i:

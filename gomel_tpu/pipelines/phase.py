@@ -168,6 +168,19 @@ class Phase:
         return _decode_jit(spec2, c.resolut, c.window,
                            float(c.volume_boost), frame_chunk=fc)
 
+    def decode_quantized(self, planes, maxs, mins) -> jax.Array:
+        """Integer PNG planes [nf, F, 2] + per-channel extrema -> audio: the
+        fused dequantize (+sinh IHS undo) + VolumeBoost + decode program
+        (ops/quantize.dequantize_planes). Only the integer planes and two
+        extrema pairs are uploaded (imagecodec.load_phase_image_raw)."""
+        c = self.config
+        fc = auto_frame_chunk(np.asarray(planes).shape[1])
+        return _dequantize_decode_jit(
+            jnp.asarray(planes), jnp.asarray(maxs, jnp.float32),
+            jnp.asarray(mins, jnp.float32), c.resolut, c.window,
+            float(c.volume_boost), fc, 65535 if c.hdr else 255,
+            c.ihs_passes)
+
     # -- reference-layout API --------------------------------------------------
     def to_phase(self, buf) -> np.ndarray:
         """Audio -> flattened [F*num_freqs, 2] float64
@@ -283,13 +296,8 @@ class Phase:
             import dataclasses
             self.config = dataclasses.replace(self.config, num_freqs=nf)
         if self.device_quantize:
-            c = self.config
-            fc = auto_frame_chunk(planes.shape[1])
-            wave = np.asarray(_dequantize_decode_jit(
-                jnp.asarray(planes), jnp.asarray(maxs, jnp.float32),
-                jnp.asarray(mins, jnp.float32), c.resolut, c.window,
-                float(c.volume_boost), fc, 65535 if c.hdr else 255,
-                c.ihs_passes), dtype=np.float64)
+            wave = np.asarray(self.decode_quantized(planes, maxs, mins),
+                              dtype=np.float64)
         else:
             wave = np.asarray(self.decode(spec), dtype=np.float64)
         samples_i = int(samples)

@@ -172,3 +172,126 @@ def test_batch_explicit_encoders_match_vmap():
     got_c = mel_encode_batch(xb, num_mels, frame_len, hop, fwd, frame_chunk=7)
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(want),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_batched_mel_encode_quantized_matches_single():
+    """Per-row masked extrema = quantizing each file alone: rows of the
+    batched fused quantizer (sliced to true frames) match
+    Mel(device_quantize=True).encode_quantized within one trunc step."""
+    from gomel_tpu.core.framing import frames_for_padded
+    mesh = make_mesh(data=2, frame=1)
+    cfg = MelConfig(num_mels=24, **CFG)
+    bm = BatchedMel(cfg, mesh=mesh)
+    single = Mel(cfg, device_quantize=True)
+    utts = _utts([1000, 2500, 3100], seed=7)
+    for bucket in make_buckets(utts, cfg.window, max_batch=4):
+        frames = np.asarray(
+            [frames_for_padded(int(L), cfg.window, cfg.resolut)
+             for L in bucket.lengths], np.int32)
+        img2b, mxb, mnb = bm.encode_quantized(bucket.audio, frames)
+        img2b = np.asarray(img2b)
+        for row, i in enumerate(bucket.indices):
+            w_img, w_mx, w_mn = single.encode_quantized(utts[i])
+            w_img = np.asarray(w_img)
+            f = int(frames[row])
+            assert w_img.shape[1] == f
+            got = img2b[row][:, :f].astype(np.int64)
+            np.testing.assert_allclose(
+                float(np.asarray(mxb)[row]), float(w_mx), rtol=1e-5)
+            np.testing.assert_allclose(
+                float(np.asarray(mnb)[row]), float(w_mn), rtol=1e-5)
+            diff = np.abs(got - w_img.astype(np.int64))
+            assert diff.max() <= 1
+            assert (diff > 0).mean() < 2e-3
+
+
+def test_batched_phase_quantized_roundtrip_matches_single():
+    """Fused batched phase quantize (with IHS) + fused batched dequantize
+    decode: parity with the single-file device paths."""
+    from gomel_tpu.core.framing import frames_for_padded
+    from gomel_tpu.ops.quantize import quantize_planes
+    mesh = make_mesh(data=2, frame=1)
+    cfg = PhaseConfig(num_freqs=96, ihs=True, **CFG)
+    bp = BatchedPhase(cfg, mesh=mesh)
+    single = Phase(cfg, device_quantize=True)
+    utts = _utts([1500, 2800], seed=8)
+    bucket = make_buckets(utts, cfg.window, max_batch=4)[0]
+    frames = np.asarray(
+        [frames_for_padded(int(L), cfg.window, cfg.resolut)
+         for L in bucket.lengths], np.int32)
+    img2b, mxb, mnb = bp.encode_quantized(bucket.audio, frames)
+    img2b, mxb, mnb = np.asarray(img2b), np.asarray(mxb), np.asarray(mnb)
+    for row, i in enumerate(bucket.indices):
+        w_img, w_mx, w_mn = single.encode_quantized(utts[i])
+        w_img = np.asarray(w_img)
+        f = int(frames[row])
+        got = img2b[row][:, :f].astype(np.int64)
+        np.testing.assert_allclose(mxb[row], np.asarray(w_mx), rtol=1e-5)
+        np.testing.assert_allclose(mnb[row], np.asarray(w_mn), rtol=1e-5)
+        diff = np.abs(got - w_img.astype(np.int64))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 2e-3
+    # decode the batch of quantized planes: rows match the single-file
+    # fused dequantize+decode on the same planes (exact same program)
+    wavs = np.asarray(bp.decode_quantized(img2b, mxb, mnb))
+    for row, i in enumerate(bucket.indices):
+        f = int(frames[row])
+        want = np.asarray(single.decode_quantized(
+            img2b[row], mxb[row], mnb[row]))
+        np.testing.assert_allclose(wavs[row], want, atol=1e-4, rtol=1e-4)
+
+
+def test_batch_cli_device_quantize(tmp_path):
+    """batch-tomel/batch-towav and batch-tophase/batch-fromphase with
+    --device-quantize: files written are readable and byte-near the host
+    quantizer's output."""
+    from gomel_tpu.cli.batch import (batch_fromphase, batch_tomel,
+                                     batch_tophase, batch_towav)
+    from gomel_tpu.io.audio import save_wav, load_wav
+    from gomel_tpu.io.pngcodec import read_png
+    import os
+    rng = np.random.default_rng(9)
+    wav_dir = tmp_path / "wavs"
+    os.makedirs(wav_dir)
+    for k, secs in enumerate([0.4, 0.7]):
+        t = np.arange(int(secs * 48000)) / 48000
+        a = 0.4 * np.sin(2 * np.pi * (300 + 100 * k) * t) \
+            + 0.05 * rng.standard_normal(t.shape)
+        save_wav(str(wav_dir / f"u{k}.wav"), a, 48000)
+
+    # phase: encode both ways, compare pixels, then decode fused
+    for tag, extra in [("h", []), ("d", ["--device-quantize"])]:
+        rc = batch_tophase([str(wav_dir), "--out-dir",
+                            str(tmp_path / f"p_{tag}")] + extra)
+        assert rc == 0
+    for k in range(2):
+        a = read_png(str(tmp_path / "p_h" / f"u{k}.wav.png"))
+        b = read_png(str(tmp_path / "p_d" / f"u{k}.wav.png"))
+        assert a.shape == b.shape
+        diff = np.abs(a.astype(np.int64) - b.astype(np.int64))
+        diff = np.minimum(diff, 256 - diff)  # wrapped B channel
+        assert diff.max() <= 1
+    rc = batch_fromphase([str(tmp_path / "p_d"), "--out-dir",
+                          str(tmp_path / "pw"), "--device-quantize"])
+    assert rc == 0
+    for k in range(2):
+        w, sr = load_wav(str(tmp_path / "pw" / f"u{k}.wav.png.wav"))
+        assert sr == 48000 and len(w) > 0
+
+    # mel: same shape of checks
+    for tag, extra in [("h", []), ("d", ["--device-quantize"])]:
+        rc = batch_tomel([str(wav_dir), "--out-dir",
+                          str(tmp_path / f"m_{tag}")] + extra)
+        assert rc == 0
+    for k in range(2):
+        a = read_png(str(tmp_path / "m_h" / f"u{k}.wav.png"))
+        b = read_png(str(tmp_path / "m_d" / f"u{k}.wav.png"))
+        assert a.shape == b.shape
+        diff = np.abs(a.astype(np.int64) - b.astype(np.int64))
+        assert diff.max() <= 1
+    rc = batch_towav([str(tmp_path / "m_d"), "--out-dir",
+                      str(tmp_path / "mw"), "--device-quantize"])
+    assert rc == 0
+    for k in range(2):
+        w, sr = load_wav(str(tmp_path / "mw" / f"u{k}.wav.png.wav"))
+        assert sr == 44100 and len(w) > 0

@@ -128,3 +128,62 @@ def test_file_level_differential(sr, mode, seed, length):
             x2 = pcm_r[4096:n - 4096].astype(np.float64)
             if x1.std() > 10 and x2.std() > 10:
                 assert np.corrcoef(x1, x2)[0, 1] > 0.99
+
+
+@needs_ref
+@settings(max_examples=24, deadline=None, derandomize=True)
+@given(sr=st.sampled_from(RATES), mode=st.sampled_from(MODES),
+       seed=st.integers(0, 2**31 - 1), length=st.integers(2_000, 24_000))
+def test_file_level_differential_device_quantize(sr, mode, seed, length):
+    """Same differential with the device-fused quantizer on OUR side
+    (VERDICT r4 #5): Phase(device_quantize=True) writes PNGs within one
+    quantization step of the port's (HDR included at 65535 levels, where
+    f32 rounding can reach 2 steps) with EXACT metadata, and its fused
+    dequantize+decode of the port's own PNG matches the port's WAV within
+    PCM-16 tolerance."""
+    hdr, ihs = mode == "hdr", mode == "ihs"
+    maxval = 65535.0 if hdr else 255.0
+    rng = np.random.default_rng(seed)
+    audio = _synth(rng, length, sr)
+    with tempfile.TemporaryDirectory() as d:
+        wav_in = os.path.join(d, "in.wav")
+        compat.save_wav(wav_in, audio, sr)
+
+        ours = compat.Phase(sample_rate=sr, HDR=hdr, IHS=ihs,
+                            device_quantize=True)
+        theirs = ref.Phase(sample_rate=sr, HDR=hdr, IHS=ihs)
+        png_o = os.path.join(d, "ours.png")
+        png_r = os.path.join(d, "ref.png")
+        ours.to_phase_wav(wav_in, png_o)
+        theirs.to_phase_wav(wav_in, png_r)
+
+        # -- PNG differential (pre-sinh: linear quantization grid) ---------
+        oo = ref.load_image(png_o, True, hdr, 0)   # port reads OUR file
+        rr = ref.load_image(png_r, True, hdr, 0)
+        # metadata identical (f16-packed bytes must agree exactly)
+        assert oo[1:] == rr[1:], (oo[1:], rr[1:])
+        a, b = np.asarray(oo[0], np.float64), np.asarray(rr[0], np.float64)
+        assert a.shape == b.shape
+        step = (b.max(axis=0) - b.min(axis=0)) / maxval  # per-channel
+        diff = np.abs(a - b).max(axis=0)
+        steps = 2 if hdr else 1  # f32 ulp at 65535 spans ~2 LSB
+        assert np.all(diff <= step * (steps + 1e-6) + 1e-12), (diff, step)
+
+        # -- WAV differential: fused decode of the PORT's png --------------
+        wav_o = os.path.join(d, "out_ours.wav")
+        wav_r = os.path.join(d, "out_ref.wav")
+        rate_o = compat.Phase(sample_rate=sr, HDR=hdr, IHS=ihs,
+                              device_quantize=True).to_wav_png(png_r, wav_o)
+        rate_r = ref.Phase(sample_rate=sr, HDR=hdr,
+                           IHS=ihs).to_wav_png(png_r, wav_r)
+        assert rate_o == rate_r == sr
+        pcm_o, sro = wavcodec.read_wav(wav_o)
+        pcm_r, srr = wavcodec.read_wav(wav_r)
+        assert sro == srr
+        assert pcm_o.shape == pcm_r.shape
+        d16 = np.abs(pcm_o.astype(np.int32) - pcm_r.astype(np.int32))
+        assert d16.max() <= 64, d16.max()
+        denom = max(float(np.sqrt(np.mean(pcm_r.astype(np.float64) ** 2))),
+                    1.0)
+        assert float(np.sqrt(np.mean(d16.astype(np.float64) ** 2))) \
+            <= 0.01 * denom + 1.0

@@ -272,3 +272,154 @@ def test_call_longform_wrong_arity():
                                               batch=2, platforms=("cpu",))
     with pytest.raises(ValueError, match="takes 2 inputs"):
         serving.call_longform(exp, mesh, np.zeros((2, 3, 24, 2), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# File-level API (VERDICT r4 #3): hour-scale users get the same file surface
+# as the single-chip pipelines — parity on the same audio.
+# ---------------------------------------------------------------------------
+
+def _file_audio(tmp_path, sr=24000, secs=0.5, seed=11, name="in.wav"):
+    from gomel_tpu.io.audio import save_wav
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(secs * sr)) / sr
+    a = (0.4 * np.sin(2 * np.pi * 220 * t)
+         + 0.05 * rng.standard_normal(t.shape))
+    p = str(tmp_path / name)
+    save_wav(p, a, sr)
+    return p, a
+
+
+def test_longform_phase_file_parity(mesh, tmp_path):
+    """to_phase_wav / to_wav_png via the sharded pipeline match the
+    single-chip file path on the same audio (24 kHz exercises the
+    zero-stuff upsample + samples_in_mel metadata)."""
+    from gomel_tpu.io.audio import load_wav
+    from gomel_tpu.io import imagecodec
+    cfg = PhaseConfig(num_freqs=96, **CFG)
+    wav, _ = _file_audio(tmp_path)
+    lf = LongFormPhase(cfg, mesh)
+    single = Phase(cfg)
+    png_lf = str(tmp_path / "lf.png")
+    png_s = str(tmp_path / "s.png")
+    lf.to_phase_wav(wav, png_lf)
+    single.to_phase_wav(wav, png_s)
+    # identical metadata; pixels within one quantization step (sharded vs
+    # single-chip encode differ by float noise)
+    sa = imagecodec.load_phase_image(png_s, cfg.y_reverse, 0, False)
+    sb = imagecodec.load_phase_image(png_lf, cfg.y_reverse, 0, False)
+    assert sa[1:] == sb[1:]
+    step = (sa[0].reshape(-1, 2).max(axis=0)
+            - sa[0].reshape(-1, 2).min(axis=0)) / 255.0
+    assert np.all(np.abs(sa[0] - sb[0]).reshape(-1, 2).max(axis=0)
+                  <= step * 1.001 + 1e-12)
+
+    out_lf = str(tmp_path / "lf.wav")
+    out_s = str(tmp_path / "s.wav")
+    sr_lf = lf.to_wav_png(png_s, out_lf)   # decode the SAME png both ways
+    sr_s = single.to_wav_png(png_s, out_s)
+    assert sr_lf == sr_s
+    a, ra = load_wav(out_lf)
+    b, rb = load_wav(out_s)
+    assert ra == rb and a.shape == b.shape
+    assert np.abs(a - b).max() < 1e-3
+
+
+def test_longform_phase_file_device_quantize(mesh, tmp_path):
+    """device_quantize=True long-form file paths: byte-near PNG, readable
+    by the standard loader, fused sharded decode parity."""
+    from gomel_tpu.io.audio import load_wav
+    from gomel_tpu.io.pngcodec import read_png
+    cfg = PhaseConfig(num_freqs=96, ihs=True, **CFG)
+    wav, _ = _file_audio(tmp_path, seed=12)
+    host = LongFormPhase(cfg, mesh)
+    dev = LongFormPhase(cfg, mesh, device_quantize=True)
+    png_h = str(tmp_path / "h.png")
+    png_d = str(tmp_path / "d.png")
+    host.to_phase_wav(wav, png_h)
+    dev.to_phase_wav(wav, png_d)
+    a, b = read_png(png_h), read_png(png_d)
+    assert a.shape == b.shape
+    diff = np.abs(a.astype(np.int64) - b.astype(np.int64))
+    diff = np.minimum(diff, 256 - diff)  # wrapped B channel
+    assert diff.max() <= 1
+    out_h = str(tmp_path / "h.wav")
+    out_d = str(tmp_path / "d.wav")
+    host.to_wav_png(png_h, out_h)
+    dev.to_wav_png(png_h, out_d)  # same png through both decoders
+    x, _ = load_wav(out_h)
+    y, _ = load_wav(out_d)
+    assert x.shape == y.shape
+    assert np.abs(x - y).max() * 32768.0 <= 2.0
+
+
+def test_longform_mel_file_parity(mesh, tmp_path):
+    """to_mel_wav / to_wav_png via the sharded pipeline match the
+    single-chip mel file path (same GL seed => same noise init is NOT
+    guaranteed across shard layouts; compare spectral content)."""
+    from gomel_tpu.io.audio import load_wav
+    from gomel_tpu.io import imagecodec
+    cfg = MelConfig(num_mels=24, griffin_lim_iterations=2, **CFG)
+    wav, _ = _file_audio(tmp_path, sr=48000, seed=13)
+    lf = LongFormMel(cfg, mesh)
+    single = Mel(cfg)
+    png_lf = str(tmp_path / "lf.png")
+    png_s = str(tmp_path / "s.png")
+    lf.to_mel_wav(wav, png_lf)
+    single.to_mel_wav(wav, png_s)
+    sa, samples_a, sra = imagecodec.load_mel_image(png_s, cfg.y_reverse)
+    sb, samples_b, srb = imagecodec.load_mel_image(png_lf, cfg.y_reverse)
+    assert (samples_a, sra) == (samples_b, srb)
+    step = (sa.max() - sa.min()) / 255.0
+    assert np.abs(sa - sb).max() <= step * 1.001 + 1e-12
+
+    out_lf = str(tmp_path / "lf.wav")
+    out_s = str(tmp_path / "s.wav")
+    sr1 = lf.to_wav_png(png_s, out_lf, seed=0)
+    sr2 = single.to_wav_png(png_s, out_s, seed=0)
+    assert sr1 == sr2
+    x, _ = load_wav(out_lf)
+    y, _ = load_wav(out_s)
+    assert x.shape == y.shape  # same trim decision
+    # GL from different noise layouts: compare reconstructed mel content
+    mx = np.asarray(single.encode(x))
+    my = np.asarray(single.encode(y))
+    rel = np.linalg.norm(np.exp(mx) - np.exp(my)) / np.linalg.norm(np.exp(mx))
+    assert rel < 0.35, rel
+
+
+def test_longform_mel_file_device_quantize(mesh, tmp_path):
+    from gomel_tpu.io.audio import load_wav
+    from gomel_tpu.io.pngcodec import read_png
+    cfg = MelConfig(num_mels=24, griffin_lim_iterations=2,
+                    volume_boost=1.0, **CFG)
+    wav, _ = _file_audio(tmp_path, sr=48000, seed=14)
+    host = LongFormMel(cfg, mesh)
+    dev = LongFormMel(cfg, mesh, device_quantize=True)
+    png_h = str(tmp_path / "h.png")
+    png_d = str(tmp_path / "d.png")
+    host.to_mel_wav(wav, png_h)
+    dev.to_mel_wav(wav, png_d)
+    a, b = read_png(png_h), read_png(png_d)
+    assert a.shape == b.shape
+    assert np.abs(a.astype(np.int64) - b.astype(np.int64)).max() <= 1
+    out_h = str(tmp_path / "h.wav")
+    out_d = str(tmp_path / "d.wav")
+    host.to_wav_png(png_h, out_h, seed=3)
+    dev.to_wav_png(png_h, out_d, seed=3)  # same png, same seed
+    x, _ = load_wav(out_h)
+    y, _ = load_wav(out_d)
+    assert x.shape == y.shape
+    # identical plan + seed => identical GL noise; only dequantize noise
+    assert np.abs(x - y).max() * 32768.0 <= 2.0
+
+
+def test_longform_file_mismatched_mels_raises(mesh, tmp_path):
+    from gomel_tpu.core.config import ConfigError
+    cfg = MelConfig(num_mels=24, **CFG)
+    wav, _ = _file_audio(tmp_path, sr=48000, seed=15)
+    png = str(tmp_path / "m.png")
+    LongFormMel(cfg, mesh).to_mel_wav(wav, png)
+    bad = LongFormMel(MelConfig(num_mels=16, **CFG), mesh)
+    with pytest.raises(ConfigError, match="mel bins"):
+        bad.to_wav_png(png, str(tmp_path / "o.wav"))
