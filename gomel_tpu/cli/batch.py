@@ -30,12 +30,17 @@ from ..parallel.batch import BatchedMel, BatchedPhase, make_buckets
 
 
 def _add_devq_flag(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--device-quantize", action="store_true",
+    p.add_argument("--device-quantize", dest="device_quantize",
+                   action="store_true", default=True,
                    help="fuse PNG (de)quantization into the batched device "
-                        "program (ops/quantize.py): only integer planes "
-                        "cross the host boundary; per-row extrema masked to "
-                        "each file's true frames (byte-near, not "
-                        "byte-identical, to the host quantizer)")
+                        "program (the default: only integer planes cross "
+                        "the host boundary; per-row extrema masked to each "
+                        "file's true frames; byte-near output — "
+                        "ops/quantize.py, docs/PARITY.md)")
+    p.add_argument("--host-quantize", dest="device_quantize",
+                   action="store_false",
+                   help="byte-exact host-side float64 PNG quantization "
+                        "(the reference-oracle personality; slower)")
 
 
 def _add_shard_flag(p: argparse.ArgumentParser) -> None:

@@ -61,11 +61,16 @@ def _mel_parser(prog: str, png_input: bool) -> argparse.ArgumentParser:
     p.add_argument("--griffin-lim-iterations", type=int,
                    default=d.griffin_lim_iterations)
     p.add_argument("--volume-boost", type=float, default=d.volume_boost)
-    p.add_argument("--device-quantize", action="store_true",
+    p.add_argument("--device-quantize", dest="device_quantize",
+                   action="store_true", default=True,
                    help="fuse PNG (de)quantization into the device program "
-                        "(8x less host<->device traffic on file paths; "
-                        "output is byte-near, not byte-identical, to the "
-                        "host quantizer — ops/quantize.py)")
+                        "(the default since the r5 evidence run: 8x less "
+                        "host<->device traffic on file paths, byte-near "
+                        "output — ops/quantize.py, docs/PARITY.md)")
+    p.add_argument("--host-quantize", dest="device_quantize",
+                   action="store_false",
+                   help="byte-exact host-side float64 PNG quantization "
+                        "(the reference-oracle personality; slower)")
     return p
 
 
@@ -122,12 +127,17 @@ def _phase_parser(prog: str, png_input: bool) -> argparse.ArgumentParser:
     p.add_argument("--volume-boost", type=float, default=d.volume_boost)
     p.add_argument("--ihs", action="store_true")
     p.add_argument("--hdr", action="store_true")
-    p.add_argument("--device-quantize", action="store_true",
+    p.add_argument("--device-quantize", dest="device_quantize",
+                   action="store_true", default=True,
                    help="fuse PNG (de)quantization into the device program "
-                        "(+40-60%% single-stream file encode; 4x less "
-                        "host<->device traffic both directions; output is "
-                        "byte-near, not byte-identical, to the host "
-                        "quantizer — ops/quantize.py)")
+                        "(the default since the r5 evidence run: +40-60%% "
+                        "single-stream file encode, 4x less host<->device "
+                        "traffic both directions, byte-near output — "
+                        "ops/quantize.py, docs/PARITY.md)")
+    p.add_argument("--host-quantize", dest="device_quantize",
+                   action="store_false",
+                   help="byte-exact host-side float64 PNG quantization "
+                        "(the reference-oracle personality; slower)")
     if png_input:
         p.add_argument("--sample-rate", type=int, default=0,
                        help="override output rate (reference fromphase "

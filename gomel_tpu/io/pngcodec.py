@@ -35,17 +35,22 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
 
-def write_png(path, image: np.ndarray, compress_level: int = 3) -> None:
+def write_png(path, image: np.ndarray, compress_level: int = 1,
+              compress_strategy: int = zlib.Z_RLE) -> None:
     """Write an image array as PNG.
 
     path: filesystem path or binary file object.
     image: uint8 or uint16 array of shape [H, W] (gray), [H, W, 3] (RGB) or
     [H, W, 4] (RGBA). 16-bit samples are stored big-endian per the PNG spec.
-    compress_level: zlib level for the IDAT deflate. PNG is lossless at any
-    level — this is an encoder-private speed/size trade, measured on real
-    30 s spectrograms (benchmarks/RESULTS.md "PNG deflate level"): default 3
-    is 4.3x faster than level 6 on 16-bit HDR images (+1.9% size) and 1.6x
-    faster on 8-bit (+1.4%); pass 6+ to favor artifact size.
+    compress_level / compress_strategy: zlib settings for the IDAT deflate.
+    PNG is lossless at any setting — this is an encoder-private speed/size
+    trade. Measured on real quantized spectrogram streams
+    (benchmarks/exp_file_profile.py, RESULTS.md "PNG deflate strategy"):
+    Z_RLE is 2.0-3.2x FASTER than the old level-3 default AND 2.4-5.2%
+    SMALLER on Up-filtered spectrogram scanlines (run-length coding matches
+    the residual structure; the level is irrelevant under Z_RLE). For
+    maximum-compression archival pass compress_strategy=zlib.Z_DEFAULT_STRATEGY
+    with compress_level 6+.
     """
     image = np.ascontiguousarray(image)
     if image.dtype == np.uint8:
@@ -88,7 +93,9 @@ def write_png(path, image: np.ndarray, compress_level: int = 3) -> None:
         raw_bytes = filtered.tobytes()
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
-    idat = zlib.compress(raw_bytes, compress_level)
+    comp = zlib.compressobj(compress_level, zlib.DEFLATED, 15, 8,
+                            compress_strategy)
+    idat = comp.compress(raw_bytes) + comp.flush()
     payload = (_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
                + _chunk(b"IEND", b""))
     if hasattr(path, "write"):

@@ -53,6 +53,11 @@ GL_EQUAL_QUALITY_PAIRS: dict[int, tuple[float, int]] = {
     # mid class: momentum-8 beats plain-16 (0.1892 vs 0.1959 tonal,
     # 0.1851 vs 0.1990 speech-like) -> 2.0x less wall-clock
     16: (0.99, 8),
+    # r5 anchor for the previously-extrapolated mid range: momentum-16
+    # beats plain-32 (0.1202 vs 0.1470 tonal, 0.1127 vs 0.1355
+    # speech-like; momentum-14 also clears both, momentum-12 loses
+    # speech-like) -> the n/2 rule is validated with margin at 32
+    32: (0.99, 16),
     # BASELINE long-form class: momentum-24 beats plain-64 (0.0896 vs
     # 0.1010 tonal, 0.0778 vs 0.0906 speech-like; 0.1238 vs 0.1340 on the
     # 5-minute long-form shape) -> 2.7x less wall-clock

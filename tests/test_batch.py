@@ -260,7 +260,7 @@ def test_batch_cli_device_quantize(tmp_path):
         save_wav(str(wav_dir / f"u{k}.wav"), a, 48000)
 
     # phase: encode both ways, compare pixels, then decode fused
-    for tag, extra in [("h", []), ("d", ["--device-quantize"])]:
+    for tag, extra in [("h", ["--host-quantize"]), ("d", ["--device-quantize"])]:
         rc = batch_tophase([str(wav_dir), "--out-dir",
                             str(tmp_path / f"p_{tag}")] + extra)
         assert rc == 0
@@ -279,7 +279,7 @@ def test_batch_cli_device_quantize(tmp_path):
         assert sr == 48000 and len(w) > 0
 
     # mel: same shape of checks
-    for tag, extra in [("h", []), ("d", ["--device-quantize"])]:
+    for tag, extra in [("h", ["--host-quantize"]), ("d", ["--device-quantize"])]:
         rc = batch_tomel([str(wav_dir), "--out-dir",
                           str(tmp_path / f"m_{tag}")] + extra)
         assert rc == 0

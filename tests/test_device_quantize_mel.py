@@ -165,7 +165,7 @@ def test_cli_device_quantize_flag(tmp_path):
     # minus-one padding quirk deciding whether the tail is trimmed)
     png_h = str(tmp_path / "h.png")
     out_h = str(tmp_path / "h.wav")
-    assert tomel([wav, "-o", png_h]) == 0
-    assert towav([png_h, "22050", "-o", out_h]) == 0
+    assert tomel([wav, "-o", png_h, "--host-quantize"]) == 0
+    assert towav([png_h, "22050", "-o", out_h, "--host-quantize"]) == 0
     rec_h, _ = load_wav(out_h)
     assert len(rec) == len(rec_h)

@@ -103,7 +103,7 @@ def test_equal_quality_pairs_rederive():
         return _residual(mag, griffin_lim(mag, HOP, n_iter, key,
                                           momentum=momentum))
 
-    for plain_n in (16, 64):
+    for plain_n in (16, 32, 64):
         mom, k = GL_EQUAL_QUALITY_PAIRS[plain_n]
         assert recommended_gl(plain_n) == (mom, k)
         assert conv(k, mom) <= conv(plain_n, 0.0), (plain_n, mom, k)
