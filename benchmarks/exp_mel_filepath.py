@@ -75,24 +75,28 @@ def single_stream(secs, runs, d):
     return rows
 
 
-def batch_throughput(n_files, secs, runs, d):
+def batch_throughput(n_files, secs, runs, d, which="all"):
     from gomel_tpu.cli.batch import batch_fromphase, batch_tomel, \
         batch_tophase, batch_towav
     sr = 48000
     rng = np.random.default_rng(1)
     wav_dir = os.path.join(d, "wavs")
     os.makedirs(wav_dir, exist_ok=True)
+    # IDENTICAL lengths -> one bucket shape -> one compile per program
+    # (the compile tax is minutes/program on the tunnel; a mixed-length
+    # corpus only adds compiles, not information)
     for k in range(n_files):
         t = np.arange(int(secs * sr)) / sr
         a = (0.4 * np.sin(2 * np.pi * (200 + 37 * k) * t)
              + 0.05 * rng.standard_normal(t.shape))
         save_wav(os.path.join(wav_dir, f"u{k}.wav"), a, sr)
+    mb = ["--max-batch", str(n_files)]
 
-    def run_pair(tool, args_host, args_dev, outdirs):
+    def run_pair(tool, args_host, args_dev):
+        tool(args_host)  # warm (compiles)
+        tool(args_dev)
         th = td = float("inf")
         for _ in range(runs):
-            for o in outdirs:
-                shutil.rmtree(o, ignore_errors=True)
             t0 = time.perf_counter()
             assert tool(args_host) == 0
             th = min(th, time.perf_counter() - t0)
@@ -103,38 +107,33 @@ def batch_throughput(n_files, secs, runs, d):
 
     rows = []
     p_h, p_d = os.path.join(d, "p_h"), os.path.join(d, "p_d")
-    # warm
-    batch_tophase([wav_dir, "--out-dir", p_h])
-    batch_tophase([wav_dir, "--out-dir", p_d, "--device-quantize"])
-    th, td = run_pair(batch_tophase,
-                      [wav_dir, "--out-dir", p_h],
-                      [wav_dir, "--out-dir", p_d, "--device-quantize"],
-                      [])
-    rows.append(("batch-tophase", n_files, th, td))
-    w_h, w_d = os.path.join(d, "w_h"), os.path.join(d, "w_d")
-    batch_fromphase([p_h, "--out-dir", w_h])
-    batch_fromphase([p_d, "--out-dir", w_d, "--device-quantize"])
-    th, td = run_pair(batch_fromphase,
-                      [p_h, "--out-dir", w_h],
-                      [p_d, "--out-dir", w_d, "--device-quantize"],
-                      [])
-    rows.append(("batch-fromphase", n_files, th, td))
-    m_h, m_d = os.path.join(d, "m_h"), os.path.join(d, "m_d")
-    batch_tomel([wav_dir, "--out-dir", m_h])
-    batch_tomel([wav_dir, "--out-dir", m_d, "--device-quantize"])
-    th, td = run_pair(batch_tomel,
-                      [wav_dir, "--out-dir", m_h],
-                      [wav_dir, "--out-dir", m_d, "--device-quantize"],
-                      [])
-    rows.append(("batch-tomel", n_files, th, td))
-    mw_h, mw_d = os.path.join(d, "mw_h"), os.path.join(d, "mw_d")
-    batch_towav([m_h, "--out-dir", mw_h])
-    batch_towav([m_d, "--out-dir", mw_d, "--device-quantize"])
-    th, td = run_pair(batch_towav,
-                      [m_h, "--out-dir", mw_h],
-                      [m_d, "--out-dir", mw_d, "--device-quantize"],
-                      [])
-    rows.append(("batch-towav (GL-2)", n_files, th, td))
+    if which in ("all", "phase"):
+        th, td = run_pair(
+            batch_tophase,
+            [wav_dir, "--out-dir", p_h, "--host-quantize"] + mb,
+            [wav_dir, "--out-dir", p_d, "--device-quantize"] + mb)
+        rows.append(("batch-tophase", n_files, th, td))
+        th, td = run_pair(
+            batch_fromphase,
+            [p_h, "--out-dir", os.path.join(d, "w_h"),
+             "--host-quantize"] + mb,
+            [p_d, "--out-dir", os.path.join(d, "w_d"),
+             "--device-quantize"] + mb)
+        rows.append(("batch-fromphase", n_files, th, td))
+    if which in ("all", "mel"):
+        m_h, m_d = os.path.join(d, "m_h"), os.path.join(d, "m_d")
+        th, td = run_pair(
+            batch_tomel,
+            [wav_dir, "--out-dir", m_h, "--host-quantize"] + mb,
+            [wav_dir, "--out-dir", m_d, "--device-quantize"] + mb)
+        rows.append(("batch-tomel", n_files, th, td))
+        th, td = run_pair(
+            batch_towav,
+            [m_h, "--out-dir", os.path.join(d, "mw_h"),
+             "--host-quantize"] + mb,
+            [m_d, "--out-dir", os.path.join(d, "mw_d"),
+             "--device-quantize"] + mb)
+        rows.append(("batch-towav (GL-2)", n_files, th, td))
     return rows
 
 
@@ -146,6 +145,8 @@ def main():
     ap.add_argument("--batch-secs", type=float, default=6.0)
     ap.add_argument("--skip-single", action="store_true")
     ap.add_argument("--skip-batch", action="store_true")
+    ap.add_argument("--batch-which", choices=("all", "phase", "mel"),
+                    default="all")
     a = ap.parse_args()
     with tempfile.TemporaryDirectory() as d:
         if not a.skip_single:
@@ -159,7 +160,8 @@ def main():
                       f"**{(th / td - 1) * 100:+.0f}%** |", flush=True)
         if a.skip_batch:
             return
-        brows = batch_throughput(a.batch_files, a.batch_secs, a.runs, d)
+        brows = batch_throughput(a.batch_files, a.batch_secs, a.runs, d,
+                                 which=a.batch_which)
         print(f"\n## batch directory throughput ({a.batch_files} files x "
               f"{a.batch_secs:.0f} s, best of {a.runs} interleaved)\n")
         print("| tool | host files/s | devq files/s | win |")

@@ -180,9 +180,11 @@ class Phase:
                     input_file, self.y_reverse, self.HDR, layout="py")
             self.num_freqs = nf
             embedded_sample_rate = int(embedded_sample_rate)
-            audio = np.asarray(
-                self._engine().decode_quantized(planes, maxs, mins),
-                dtype=np.float64)
+            pcm_dev, finite = self._engine().decode_quantized_pcm16(
+                planes, maxs, mins)
+            audio = np.asarray(pcm_dev)  # int16 readback (save_wav-exact)
+            if not bool(finite):
+                raise ValueError("audio contains NaN/Inf samples")
         else:
             spectrogram, samples, embedded_sample_rate, self.num_freqs = \
                 load_image(input_file, self.y_reverse, self.HDR, self.IHS)
@@ -194,7 +196,10 @@ class Phase:
         original_length = int(samples)
         if len(audio) > original_length > 0:
             audio = audio[:original_length]
-        save_wav(output_file, audio, main_rate)
+        if self.device_quantize:
+            _audio.save_wav_pcm16(output_file, audio, main_rate)
+        else:
+            save_wav(output_file, audio, main_rate)
         return sample_rate
 
 

@@ -85,6 +85,19 @@ def load_flac(path: str, mono: str = "mean", scaling: str = "phase") -> tuple[np
     return audio, int(sr)
 
 
+def save_wav_pcm16(path: str, pcm: np.ndarray, sample_rate: int,
+                   stereo: bool = False) -> None:
+    """Write ALREADY-CONVERTED int16 PCM — the landing pad for the
+    device-side conversion (ops/quantize.pcm16_encode), which is
+    bit-identical to :func:`save_wav`'s float path on the same wave."""
+    pcm = np.asarray(pcm)
+    if pcm.dtype != np.int16:
+        raise ValueError(f"expected int16 PCM, got {pcm.dtype}")
+    if stereo and pcm.ndim == 1:
+        pcm = np.stack([pcm, pcm], axis=1)
+    wavcodec.write_wav(path, pcm, int(sample_rate))
+
+
 def save_wav(path: str, audio: np.ndarray, sample_rate: int,
              clip: bool = True, stereo: bool = False) -> None:
     """Save 16-bit PCM WAV. Clips to [-1, 1] like the port

@@ -85,6 +85,23 @@ def dequantize_mel_plane(img2: jax.Array, mgc_max: jax.Array,
         + mgc_min.astype(jnp.float32)
 
 
+def pcm16_encode(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Float audio -> (int16 PCM, all-finite flag): the io.audio.save_wav
+    conversion (clip to [-1, 1], rint of x*32768, saturate) run ON DEVICE,
+    so file-decode paths read back 2-byte samples instead of 4-byte floats
+    (halves the decode readback over the ~27 ms-RTT tunnel).
+
+    Bit-identical to the host conversion of the same f32 wave: *32768 is a
+    power-of-two scale (exact in both f32 and f64), so rint sees the same
+    value either way. The finite flag rides back in the same transfer —
+    the host checks it before writing (save_wav's NaN/Inf error contract).
+    """
+    finite = jnp.isfinite(x).all()
+    x = jnp.clip(x, -1.0, 1.0)
+    pcm = jnp.clip(jnp.rint(x * 32768.0), -32768.0, 32767.0)
+    return pcm.astype(jnp.int16), finite
+
+
 # -- batched variants (per-ROW extrema: each batch row is its own image) ----
 #
 # Batches are length-bucketed (parallel/batch.py): rows share a padded frame

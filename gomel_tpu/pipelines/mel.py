@@ -24,7 +24,8 @@ from ..core.framing import is_padded, num_frames, pad_length
 from ..io import audio as audio_io
 from ..io import imagecodec
 from ..ops.mel_ops import mel_encode, mel_decode
-from ..ops.quantize import dequantize_mel_plane, quantize_mel_plane
+from ..ops.quantize import (dequantize_mel_plane, pcm16_encode,
+                            quantize_mel_plane)
 from ..ops.stft import auto_frame_chunk, hann_window
 
 
@@ -133,10 +134,13 @@ class Mel:
                 lm = dequantize_mel_plane(img2, mx, mn, 255)
                 if boost != 0.0:
                     lm = lm + jnp.asarray(boost, lm.dtype)
-                return mel_decode(lm, c.resolut, c.window, inv,
+                wave = mel_decode(lm, c.resolut, c.window, inv,
                                   c.griffin_lim_iterations, k,
                                   c.tune_mul, c.tune_add, None,
                                   momentum=float(momentum))
+                # PCM-16 conversion on device (bit-identical to save_wav's
+                # host conversion): int16 readback, half the float traffic
+                return pcm16_encode(wave)
             self._fn_cache[key] = jax.jit(fn)
         return self._fn_cache[key]
 
@@ -301,10 +305,13 @@ class Mel:
                     f"config.num_mels={c.num_mels}; decode with the same "
                     f"config the image was written with")
             fn = self._dequantize_decode_fn(momentum, c.volume_boost)
-            wave = np.asarray(fn(jnp.asarray(planes),
+            pcm_dev, finite = fn(jnp.asarray(planes),
                                  jnp.asarray(mx, jnp.float32),
                                  jnp.asarray(mn, jnp.float32),
-                                 jax.random.PRNGKey(seed)), dtype=np.float64)
+                                 jax.random.PRNGKey(seed))
+            wave = np.asarray(pcm_dev)  # int16 readback: half the bytes
+            if not bool(finite):
+                raise ValueError("audio contains NaN/Inf samples")
         else:
             spec, samples, sr = imagecodec.load_mel_image(
                 input_file, c.y_reverse)
@@ -319,5 +326,8 @@ class Mel:
         out_sr = self.config.sample_rate
         if sr != 0 and out_sr == 0:
             out_sr = int(sr)
-        audio_io.save_wav(output_file, wave, out_sr)
+        if self.device_quantize:
+            audio_io.save_wav_pcm16(output_file, wave, out_sr)
+        else:
+            audio_io.save_wav(output_file, wave, out_sr)
         return out_sr

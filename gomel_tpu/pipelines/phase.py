@@ -31,7 +31,7 @@ from ..core.framing import is_padded, num_frames, pad_length
 from ..io import audio as audio_io
 from ..io import imagecodec
 from ..ops.phase_ops import phase_encode, phase_decode
-from ..ops.quantize import dequantize_planes, quantize_planes
+from ..ops.quantize import dequantize_planes, pcm16_encode, quantize_planes
 from ..ops.resample import zero_stuff_upsample
 from ..ops.stft import auto_frame_chunk, hann_window
 
@@ -73,6 +73,20 @@ def _dequantize_decode_jit(img2, maxs, mins, frame_len, hop, volume_boost,
     spec = dequantize_planes(img2, maxs, mins, max_val, ihs_passes)
     return phase_decode(spec, frame_len, hop, volume_boost, None,
                         frame_chunk=frame_chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_len", "hop",
+                                             "volume_boost", "frame_chunk",
+                                             "max_val", "ihs_passes"))
+def _dequantize_decode_pcm_jit(img2, maxs, mins, frame_len, hop,
+                               volume_boost, frame_chunk, max_val,
+                               ihs_passes):
+    # the file-decode program: dequantize + decode + PCM-16 conversion
+    # (ops/quantize.pcm16_encode — bit-identical to save_wav's host
+    # conversion) so the readback is int16, half the float traffic
+    spec = dequantize_planes(img2, maxs, mins, max_val, ihs_passes)
+    return pcm16_encode(phase_decode(spec, frame_len, hop, volume_boost,
+                                     None, frame_chunk=frame_chunk))
 
 
 @functools.partial(jax.jit,
@@ -176,6 +190,19 @@ class Phase:
         c = self.config
         fc = auto_frame_chunk(np.asarray(planes).shape[1])
         return _dequantize_decode_jit(
+            jnp.asarray(planes), jnp.asarray(maxs, jnp.float32),
+            jnp.asarray(mins, jnp.float32), c.resolut, c.window,
+            float(c.volume_boost), fc, 65535 if c.hdr else 255,
+            c.ihs_passes)
+
+    def decode_quantized_pcm16(self, planes, maxs, mins):
+        """:meth:`decode_quantized` with the PCM-16 conversion fused in:
+        returns (int16 PCM device array, all-finite flag). Bit-identical to
+        converting the float result through io.audio.save_wav (*32768 is an
+        exact power-of-two scale); the readback is half the bytes."""
+        c = self.config
+        fc = auto_frame_chunk(np.asarray(planes).shape[1])
+        return _dequantize_decode_pcm_jit(
             jnp.asarray(planes), jnp.asarray(maxs, jnp.float32),
             jnp.asarray(mins, jnp.float32), c.resolut, c.window,
             float(c.volume_boost), fc, 65535 if c.hdr else 255,
@@ -296,8 +323,10 @@ class Phase:
             import dataclasses
             self.config = dataclasses.replace(self.config, num_freqs=nf)
         if self.device_quantize:
-            wave = np.asarray(self.decode_quantized(planes, maxs, mins),
-                              dtype=np.float64)
+            pcm_dev, finite = self.decode_quantized_pcm16(planes, maxs, mins)
+            wave = np.asarray(pcm_dev)  # int16 readback: half the bytes
+            if not bool(finite):
+                raise ValueError("audio contains NaN/Inf samples")
         else:
             wave = np.asarray(self.decode(spec), dtype=np.float64)
         samples_i = int(samples)
@@ -307,5 +336,8 @@ class Phase:
         out_sr = self.config.sample_rate
         if sr != 0 and out_sr == 0:
             out_sr = self.config.family_main_rate
-        audio_io.save_wav(output_file, wave, out_sr)
+        if self.device_quantize:
+            audio_io.save_wav_pcm16(output_file, wave, out_sr)
+        else:
+            audio_io.save_wav(output_file, wave, out_sr)
         return out_sr

@@ -160,3 +160,34 @@ def test_load_phase_image_raw_consistent(tmp_path):
     re = re * (maxs - mins) + mins
     re = np.sinh(np.sinh(re))
     np.testing.assert_allclose(re, spec, rtol=0, atol=1e-12)
+
+
+def test_pcm16_device_conversion_bit_identical(tmp_path):
+    """The fused PCM-16 conversion (ops/quantize.pcm16_encode, used by the
+    device-quantize to_wav_png readback) is BIT-identical to save_wav's
+    host float64 conversion of the same device float wave — *32768 is an
+    exact power-of-two scale, so rint sees the same value either way."""
+    buf = _audio(secs=1.2, seed=9)
+    from gomel_tpu.io.audio import save_wav
+    wav = str(tmp_path / "in.wav")
+    png = str(tmp_path / "p.png")
+    save_wav(wav, buf, 48000)
+    p = Phase(sample_rate=48000, device_quantize=True)
+    p.to_phase_wav(wav, png)
+    planes, maxs, mins, *_ = imagecodec.load_phase_image_raw(png, True, False)
+    x = np.asarray(p.decode_quantized(planes, maxs, mins))
+    host_pcm = np.clip(np.rint(np.clip(x.astype(np.float64), -1, 1)
+                               * 32768.0), -32768, 32767).astype(np.int16)
+    dev_pcm, finite = p.decode_quantized_pcm16(planes, maxs, mins)
+    assert bool(finite)
+    np.testing.assert_array_equal(np.asarray(dev_pcm), host_pcm)
+
+
+def test_pcm16_nonfinite_flag():
+    """pcm16_encode's finite flag preserves save_wav's NaN/Inf contract."""
+    import jax.numpy as jnp
+    from gomel_tpu.ops.quantize import pcm16_encode
+    pcm, ok = pcm16_encode(jnp.asarray([0.1, -0.2, 0.3], jnp.float32))
+    assert bool(ok) and np.asarray(pcm).dtype == np.int16
+    _, bad = pcm16_encode(jnp.asarray([0.1, np.nan], jnp.float32))
+    assert not bool(bad)
