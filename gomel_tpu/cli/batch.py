@@ -28,6 +28,27 @@ from ..io.dataset import AudioDataset, list_audio_files
 from ..ops.resample import zero_stuff_upsample
 from ..parallel.batch import BatchedMel, BatchedPhase, make_buckets
 
+# Engine cache: one BatchedMel/BatchedPhase per config, shared across
+# invocations in the same process. A CLI process uses exactly one, but
+# library callers (and benchmarks) invoking these entry points repeatedly
+# would otherwise rebuild the jit wrappers — and a fresh jax.jit object
+# recompiles even for an identical program.
+_ENGINES: dict = {}
+
+
+def _batched_mel(cfg: MelConfig, gl_momentum: float = 0.0) -> BatchedMel:
+    key = ("mel", cfg, float(gl_momentum))
+    if key not in _ENGINES:
+        _ENGINES[key] = BatchedMel(cfg, gl_momentum=gl_momentum)
+    return _ENGINES[key]
+
+
+def _batched_phase(cfg: PhaseConfig) -> BatchedPhase:
+    key = ("phase", cfg)
+    if key not in _ENGINES:
+        _ENGINES[key] = BatchedPhase(cfg)
+    return _ENGINES[key]
+
 
 def _add_devq_flag(p: argparse.ArgumentParser) -> None:
     p.add_argument("--device-quantize", dest="device_quantize",
@@ -138,7 +159,7 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
     ds = AudioDataset(files, mono="go_concat", flac_scaling="mel",
                       num_workers=a.workers)
     items = [(path, buf, sr) for path, buf, sr in ds]
-    bm = BatchedMel(cfg)
+    bm = _batched_mel(cfg)
     utts = [np.asarray(buf, np.float32) for _, buf, _ in items]
     n_done = 0
     used: set = set()
@@ -215,7 +236,7 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
     for nf, items in groups.items():
         cfg = PhaseConfig(num_freqs=nf, window=a.window, resolut=a.resolut,
                           y_reverse=True, ihs=a.ihs, hdr=a.hdr)
-        bp = BatchedPhase(cfg)
+        bp = _batched_phase(cfg)
         utts = [np.asarray(buf, np.float32) for _, buf, _, _ in items]
         for bucket in make_buckets(utts, cfg.window, max_batch=a.max_batch):
             frames = np.asarray(
@@ -335,7 +356,7 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
         cfg = PhaseConfig(num_freqs=nf, window=a.window, resolut=a.resolut,
                           y_reverse=True, volume_boost=a.volume_boost,
                           ihs=a.ihs, hdr=a.hdr)
-        bp = BatchedPhase(cfg)
+        bp = _batched_phase(cfg)
         for s in range(0, len(items), a.max_batch):
             chunk = items[s:s + a.max_batch]
             if a.device_quantize:
@@ -418,7 +439,7 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
 
     n_done = 0
     used: set = set()
-    bm = BatchedMel(cfg, gl_momentum=a.gl_momentum)
+    bm = _batched_mel(cfg, gl_momentum=a.gl_momentum)
     for frames, items in groups.items():
         for s in range(0, len(items), a.max_batch):
             chunk = items[s:s + a.max_batch]
