@@ -81,7 +81,11 @@ def main():
         pc.resolut, pc.window, 0.0, None)))
 
     # parity first: same program content
-    d = np.abs(np.asarray(fused(xbs[0])) - np.asarray(two_dispatch(xbs[0])))
+    print("compiling two-dispatch...", file=sys.stderr, flush=True)
+    a2 = np.asarray(two_dispatch(xbs[0]))
+    print("compiling fused...", file=sys.stderr, flush=True)
+    af = np.asarray(fused(xbs[0]))
+    d = np.abs(af - a2)
     print(f"max |fused - two-dispatch| = {d.max():.3e}", file=sys.stderr)
 
     # interleaved rounds (shared-chip policy)

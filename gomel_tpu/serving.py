@@ -199,6 +199,39 @@ def export_phase_decoder(config: PhaseConfig, *, n_frames: int, batch=None,
     return jax_export.export(fn, platforms=list(platforms))(spec)
 
 
+def export_phase_roundtrip(config: PhaseConfig, *, seconds: float,
+                           sample_rate: int = 0, batch=None,
+                           dtype=jnp.float32,
+                           encode_fft_backend: str = "mxu",
+                           decode_fft_backend: str = "xla",
+                           platforms=DEFAULT_PLATFORMS
+                           ) -> jax_export.Exported:
+    """[B, n_samples] audio -> [B, L] audio: ONE fused encode->decode
+    program (the codec round trip as a single dispatch — the spectrogram
+    never crosses a program boundary). Measured +12% over the two-dispatch
+    sequence at the batch-2/30 s serving shape with bit-identical output
+    (benchmarks/exp_fused_roundtrip.py, RESULTS.md r5). Reference
+    semantics: ToPhase -> FromPhase (phase/phase.go:41-153)."""
+    c = config
+    sr = int(sample_rate) or c.sample_rate
+    if sr <= 0:
+        raise ValueError("sample_rate must be set (argument or config) to "
+                         "size the artifact's audio input")
+    n = padded_samples(seconds, sr, c.window)
+    win = jnp.asarray(hann_window(c.resolut), dtype)
+
+    def roundtrip_one(x):
+        spec2 = phase_encode(x, c.num_freqs, c.resolut, c.window, win,
+                             fft_backend=encode_fft_backend)
+        return phase_decode(spec2, c.resolut, c.window, c.volume_boost,
+                            None, fft_backend=decode_fft_backend)
+
+    fn = jax.jit(jax.vmap(roundtrip_one))
+    b = _batch_dim(batch)
+    spec = jax.ShapeDtypeStruct((b, n), dtype)
+    return jax_export.export(fn, platforms=list(platforms))(spec)
+
+
 # -- sharded long-form exports ------------------------------------------------
 #
 # The scale-out product (pipelines/longform.py: shard_map halo-exchange

@@ -305,3 +305,27 @@ def _save_load_path(tmp_path, exp):
     p = str(tmp_path / "chunked.jaxexp")
     serving.save_exported(exp, p)
     return p
+
+
+def test_phase_roundtrip_artifact_matches_two_stage(tmp_path):
+    """The fused round-trip artifact (adopted r5: +12% over two dispatches
+    on chip, benchmarks/exp_fused_roundtrip.py) computes exactly the
+    encoder->decoder composition."""
+    eexp = serving.export_phase_roundtrip(PCFG, seconds=0.1, batch=2,
+                                          encode_fft_backend="xla",
+                                          decode_fft_backend="xla",
+                                          platforms=("cpu",))
+    p = str(tmp_path / "rt.jaxexp")
+    serving.save_exported(eexp, p)
+    art = serving.load_exported(p)
+    n = eexp.in_avals[0].shape[1]
+    x = _audio(2, n, seed=5)
+    got = np.asarray(art.call(jnp.asarray(x)))
+    enc = serving.export_phase_encoder(PCFG, seconds=0.1, batch=2,
+                                       fft_backend="xla",
+                                       platforms=("cpu",))
+    spec = enc.call(jnp.asarray(x))
+    dec = serving.export_phase_decoder(PCFG, n_frames=spec.shape[1],
+                                       batch=2, platforms=("cpu",))
+    want = np.asarray(dec.call(spec))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
