@@ -23,7 +23,7 @@ import numpy as np
 from ..core.config import MelConfig, PhaseConfig, num_freqs_for_sample_rate, pad_shift
 from ..core.framing import frames_for_padded, is_padded
 from ..io import imagecodec
-from ..io.audio import save_wav
+from ..io.audio import save_wav, save_wav_pcm16
 from ..io.dataset import AudioDataset, list_audio_files
 from ..ops.resample import zero_stuff_upsample
 from ..parallel.batch import BatchedMel, BatchedPhase, make_buckets
@@ -360,11 +360,14 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
         for s in range(0, len(items), a.max_batch):
             chunk = items[s:s + a.max_batch]
             if a.device_quantize:
-                wavs = np.asarray(bp.decode_quantized(
+                pcm, finite = bp.decode_quantized(
                     np.stack([p for _, (p, _, _), _, _ in chunk]),
                     np.stack([mx for _, (_, mx, _), _, _ in chunk]),
-                    np.stack([mn for _, (_, _, mn), _, _ in chunk])),
-                    dtype=np.float64)
+                    np.stack([mn for _, (_, _, mn), _, _ in chunk]),
+                    pcm16=True)
+                wavs = np.asarray(pcm)  # int16 readback: half the bytes
+                if not bool(finite):
+                    raise ValueError("audio contains NaN/Inf samples")
             else:
                 batch = np.stack([spec for _, spec, _, _ in chunk])
                 wavs = np.asarray(bp.decode(batch), dtype=np.float64)
@@ -375,8 +378,12 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
                         and is_padded(samples_i, len(wave), cfg.window)
                         and len(wave) > samples_i):
                     wave = wave[:samples_i]
-                save_wav(_wav_out(path, a.out_dir, used), wave,
-                         cfg.family_main_rate)
+                if a.device_quantize:
+                    save_wav_pcm16(_wav_out(path, a.out_dir, used), wave,
+                                   cfg.family_main_rate)
+                else:
+                    save_wav(_wav_out(path, a.out_dir, used), wave,
+                             cfg.family_main_rate)
                 n_done += 1
     print(f"decoded {n_done} files", file=sys.stderr)
     return 0
@@ -444,11 +451,14 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
         for s in range(0, len(items), a.max_batch):
             chunk = items[s:s + a.max_batch]
             if a.device_quantize:
-                wavs = np.asarray(bm.decode_quantized(
+                pcm, finite = bm.decode_quantized(
                     np.stack([p for _, (p, _, _), _, _ in chunk]),
                     np.asarray([mx for _, (_, mx, _), _, _ in chunk]),
                     np.asarray([mn for _, (_, _, mn), _, _ in chunk]),
-                    seed=a.seed, boost=a.volume_boost), dtype=np.float64)
+                    seed=a.seed, boost=a.volume_boost, pcm16=True)
+                wavs = np.asarray(pcm)  # int16 readback: half the bytes
+                if not bool(finite):
+                    raise ValueError("audio contains NaN/Inf samples")
             else:
                 batch = np.stack([spec for _, spec, _, _ in chunk])
                 wavs = np.asarray(bm.decode(batch, seed=a.seed),
@@ -461,7 +471,11 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
                         and len(wave) > samples_i):
                     wave = wave[:samples_i]
                 out_sr = a.sample_rate if a.sample_rate else int(sr)
-                save_wav(_wav_out(path, a.out_dir, used), wave, out_sr)
+                if a.device_quantize:
+                    save_wav_pcm16(_wav_out(path, a.out_dir, used), wave,
+                                   out_sr)
+                else:
+                    save_wav(_wav_out(path, a.out_dir, used), wave, out_sr)
                 n_done += 1
     print(f"decoded {n_done} files", file=sys.stderr)
     return 0

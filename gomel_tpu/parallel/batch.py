@@ -32,7 +32,8 @@ from ..core.filterbank import mel_weights, inverse_mel_weights
 from ..ops.mel_ops import mel_decode, mel_encode_batch
 from ..ops.phase_ops import phase_decode, phase_encode
 from ..ops.quantize import (dequantize_mel_plane, dequantize_planes,
-                            quantize_mel_plane_batch, quantize_planes_batch)
+                            pcm16_encode, quantize_mel_plane_batch,
+                            quantize_planes_batch)
 from ..ops.stft import hann_window
 from .mesh import (DATA_AXIS, host_to_global, local_rows_to_global,
                    process_local_batch_multiple)
@@ -290,12 +291,15 @@ class BatchedMel(_BatchedBase):
             self._decode(mg, self._row_keys(mg.shape[0], seed)), b)
 
     def decode_quantized(self, img2_batch, mgc_max, mgc_min, seed: int = 0,
-                         boost: float = 0.0) -> jax.Array:
+                         boost: float = 0.0, pcm16: bool = False):
         """Integer PNG plane batch [B, mels, F, 2] uint8 + per-row extrema
         [B] -> [B, out_len]: fused dequantize (+log-domain VolumeBoost,
         mel/mel.go:218-221) + Griffin-Lim — only integer planes cross the
-        host boundary (imagecodec.load_mel_image_raw feeds this)."""
-        key = float(boost)
+        host boundary (imagecodec.load_mel_image_raw feeds this).
+        ``pcm16=True`` additionally fuses the save_wav PCM-16 conversion
+        (bit-identical, ops/quantize.pcm16_encode) and returns
+        (int16 [B, out_len], all-finite flag) — half the readback."""
+        key = (float(boost), bool(pcm16))
         if key not in self._decode_q:
             c = self.config
 
@@ -303,17 +307,21 @@ class BatchedMel(_BatchedBase):
                 lm = dequantize_mel_plane(i, mx, mn, 255)
                 if boost != 0.0:
                     lm = lm + jnp.asarray(boost, lm.dtype)
-                return mel_decode(lm, c.resolut, c.window, self._inv,
+                wave = mel_decode(lm, c.resolut, c.window, self._inv,
                                   c.griffin_lim_iterations, k,
                                   c.tune_mul, c.tune_add, None,
                                   momentum=self._gl_momentum)
+                return pcm16_encode(wave) if pcm16 else wave
             self._decode_q[key] = jax.jit(jax.vmap(fn))
         ig, b = self._ingest(img2_batch, dtype=np.uint8)
         mxg, _ = self._ingest(mgc_max, dtype=np.float32)
         mng, _ = self._ingest(mgc_min, dtype=np.float32)
-        return self._trim(
-            self._decode_q[key](ig, mxg, mng,
-                                self._row_keys(ig.shape[0], seed)), b)
+        out = self._decode_q[key](ig, mxg, mng,
+                                  self._row_keys(ig.shape[0], seed))
+        if pcm16:
+            pcm, finite = out
+            return self._trim(pcm, b), finite.all()
+        return self._trim(out, b)
 
     def encode_buckets(self, utterances: Sequence[np.ndarray],
                        max_batch: int = 64):
@@ -384,23 +392,35 @@ class BatchedPhase(_BatchedBase):
         sg, b = self._ingest(spec_batch)
         return self._trim(self._decode(sg), b)
 
-    def decode_quantized(self, img2_batch, maxs, mins) -> jax.Array:
+    def decode_quantized(self, img2_batch, maxs, mins, pcm16: bool = False):
         """Integer PNG plane batch [B, nf, F, 2] + per-row extrema [B, 2]
         -> [B, out_len]: fused dequantize (+sinh IHS undo) + decode — only
         integer planes cross the host boundary
-        (imagecodec.load_phase_image_raw feeds this)."""
+        (imagecodec.load_phase_image_raw feeds this). ``pcm16=True`` fuses
+        the save_wav PCM-16 conversion (bit-identical) and returns
+        (int16 [B, out_len], all-finite flag) — half the readback."""
         c = self.config
         if self._decode_q is None:
+            self._decode_q = {}
+        key = bool(pcm16)
+        if key not in self._decode_q:
             max_val = 65535 if c.hdr else 255
-            self._decode_q = jax.jit(jax.vmap(
-                lambda i, mx, mn: phase_decode(
+
+            def fn(i, mx, mn):
+                wave = phase_decode(
                     dequantize_planes(i, mx, mn, max_val, c.ihs_passes),
-                    c.resolut, c.window, float(c.volume_boost), None)))
+                    c.resolut, c.window, float(c.volume_boost), None)
+                return pcm16_encode(wave) if pcm16 else wave
+            self._decode_q[key] = jax.jit(jax.vmap(fn))
         ig, b = self._ingest(
             img2_batch, dtype=np.uint16 if c.hdr else np.uint8)
         mxg, _ = self._ingest(maxs, dtype=np.float32)
         mng, _ = self._ingest(mins, dtype=np.float32)
-        return self._trim(self._decode_q(ig, mxg, mng), b)
+        out = self._decode_q[key](ig, mxg, mng)
+        if pcm16:
+            pcm, finite = out
+            return self._trim(pcm, b), finite.all()
+        return self._trim(out, b)
 
     def encode_buckets(self, utterances: Sequence[np.ndarray],
                        max_batch: int = 64):

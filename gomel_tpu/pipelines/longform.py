@@ -30,7 +30,8 @@ from ..io import audio as audio_io
 from ..io import imagecodec
 from ..ops.griffinlim import griffin_lim_magnitudes as _gl_magnitudes
 from ..ops.mel_ops import mel_to_linear as _mel_to_linear
-from ..ops.quantize import quantize_mel_plane, quantize_planes
+from ..ops.quantize import (pcm16_encode, quantize_mel_plane,
+                            quantize_planes)
 from ..ops.resample import zero_stuff_upsample
 from ..parallel import sharded as sh
 from ..parallel.mesh import DATA_AXIS, FRAME_AXIS, host_to_global
@@ -269,8 +270,14 @@ class LongFormPhase(_LongFormBase):
                 sh.sharded_phase_decode_fn(self.mesh, plan,
                                            float(c.volume_boost),
                                            self.dtype)))
-            wave = np.asarray(self._trim(fn(spec_g), b, plan.out_len)[0],
-                              dtype=np.float64)
+            # PCM-16 conversion on device (bit-identical to save_wav's):
+            # the hour-scale waveform reads back at half the bytes
+            pcm_fn = self._get(("pcm16",), lambda: jax.jit(pcm16_encode))
+            pcm_g, finite = pcm_fn(self._trim(fn(spec_g), b,
+                                              plan.out_len)[0])
+            wave = np.asarray(pcm_g)
+            if not bool(finite):
+                raise ValueError("audio contains NaN/Inf samples")
         else:
             spec, samples, sr, nf = imagecodec.load_phase_image(
                 input_file, c.y_reverse, c.ihs_passes, c.hdr, layout=layout)
@@ -285,7 +292,10 @@ class LongFormPhase(_LongFormBase):
         out_sr = c.sample_rate
         if sr != 0 and out_sr == 0:
             out_sr = c.family_main_rate
-        audio_io.save_wav(output_file, wave, out_sr)
+        if self.device_quantize:
+            audio_io.save_wav_pcm16(output_file, wave, out_sr)
+        else:
+            audio_io.save_wav(output_file, wave, out_sr)
         return out_sr
 
 
@@ -422,9 +432,12 @@ class LongFormMel(_LongFormBase):
                                          c.tune_mul, c.tune_add, self.dtype,
                                          momentum=momentum)))
             key = np.asarray(jax.random.PRNGKey(seed))
-            wave = np.asarray(
-                self._trim(fn(logmel_g, key), b, plan.out_len)[0],
-                dtype=np.float64)
+            pcm_fn = self._get(("pcm16",), lambda: jax.jit(pcm16_encode))
+            pcm_g, finite = pcm_fn(self._trim(fn(logmel_g, key), b,
+                                              plan.out_len)[0])
+            wave = np.asarray(pcm_g)  # int16 readback: half the bytes
+            if not bool(finite):
+                raise ValueError("audio contains NaN/Inf samples")
         else:
             spec, samples, sr = imagecodec.load_mel_image(
                 input_file, c.y_reverse)
@@ -445,7 +458,10 @@ class LongFormMel(_LongFormBase):
         out_sr = c.sample_rate
         if sr != 0 and out_sr == 0:
             out_sr = int(sr)
-        audio_io.save_wav(output_file, wave, out_sr)
+        if self.device_quantize:
+            audio_io.save_wav_pcm16(output_file, wave, out_sr)
+        else:
+            audio_io.save_wav(output_file, wave, out_sr)
         return out_sr
 
     # -- resumable decode -----------------------------------------------------
