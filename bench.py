@@ -152,9 +152,17 @@ def main() -> None:
         specs = [pe(x) for x in xbs]
         te = pipelined_time(pe, [(x,) for x in xbs], n_lo=8, n_hi=40)
         td = pipelined_time(pd, [(s,) for s in specs], n_lo=8, n_hi=40)
+        # round trip = ONE fused encode->decode program (adopted r5:
+        # +12% over the two-dispatch sequence, bit-identical —
+        # benchmarks/exp_fused_roundtrip.py; serving.export_phase_roundtrip)
+        prt = jax.jit(jax.vmap(lambda x: phase_decode(
+            phase_encode(x, pc.num_freqs, pc.resolut, pc.window, pwin),
+            pc.resolut, pc.window, 0.0, None)))
+        trt = pipelined_time(prt, [(x,) for x in xbs], n_lo=8, n_hi=40)
         print(f"phase encode: {audio_s / te:.0f} a-s/s, decode: "
-              f"{audio_s / td:.0f} a-s/s, roundtrip: "
-              f"{audio_s / (te + td):.0f} a-s/s", file=sys.stderr)
+              f"{audio_s / td:.0f} a-s/s, roundtrip (fused): "
+              f"{audio_s / trt:.0f} a-s/s "
+              f"(two-dispatch {audio_s / (te + td):.0f})", file=sys.stderr)
 
         # sample-rate family sweep (VERDICT r3 item 3): the reference's
         # 44.1k family uses 836 bins — an odd, non-128-aligned count —
