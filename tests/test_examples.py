@@ -18,7 +18,10 @@ def _run(name: str) -> str:
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     proc = subprocess.run(
         [sys.executable, os.path.join(EXAMPLES, name)],
-        capture_output=True, text=True, timeout=480, env=env, cwd=REPO_ROOT)
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO_ROOT)
+    # 900 s: the examples compile everything from scratch in a fresh
+    # subprocess; under full-suite contention on this 1-core box the
+    # example_usage run has exceeded 480 s while passing in ~130 s alone
     assert proc.returncode == 0, proc.stdout + proc.stderr
     return proc.stdout
 
