@@ -161,6 +161,17 @@ class Phase:
             layout="py")
 
     def to_phase_wav(self, input_file, output_file):
+        if self.device_quantize:
+            raw = _audio.load_wav_pcm16(input_file, mono="mean")
+            if raw is not None:
+                pcm, sample_rate = raw
+                self.reconfigure_sr(sample_rate)
+                # the engine is the "py" personality (12-byte metadata,
+                # post-upsample samples_in_mel) — its PCM fast path runs
+                # conversion/mean/upsample on device, bit-identical prep
+                self._engine()._encode_file_pcm(pcm, sample_rate,
+                                                output_file)
+                return
         audio, sample_rate = load_wav_with_sr(input_file)
         self._encode_file(audio, sample_rate, output_file, rescale_sr=False)
 

@@ -59,6 +59,30 @@ def load_wav(path: str, mono: str = "mean") -> tuple[np.ndarray, int]:
     return audio, int(sr)
 
 
+def load_wav_pcm16(path: str, mono: str = "mean"):
+    """RAW PCM-16 fast-path loader for the device-quantize encode paths:
+    returns (int16 samples, sample_rate) — [L] after mono="left" channel
+    select, or [L, C] untouched for mono="mean" (the mean runs on device;
+    summing int16 channels in f32 then halving is exact, so the device
+    conversion is bit-identical to the host float path). Returns None when
+    the file is not 16-bit PCM (callers fall back to :func:`load_wav`).
+    Uploading int16 instead of converted float halves the encode-side
+    host->device bytes."""
+    try:
+        audio, sr = wavcodec.read_wav(path)
+    except FileNotFoundError as e:
+        raise FileNotLoadedError(f"could not load wav {path!r}: {e}") from e
+    except Exception as e:
+        raise FileNotLoadedError(f"could not load wav {path!r}: {e}") from e
+    if audio.size == 0 or sr == 0:
+        raise FileNotLoadedError(f"empty or invalid wav: {path!r}")
+    if audio.dtype != np.int16:
+        return None
+    if audio.ndim > 1 and mono == "left":
+        audio = audio[:, 0]
+    return np.ascontiguousarray(audio), int(sr)
+
+
 def load_flac(path: str, mono: str = "mean", scaling: str = "phase") -> tuple[np.ndarray, int]:
     """Load a FLAC file -> (float64 mono samples, sample_rate).
 

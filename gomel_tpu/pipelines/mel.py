@@ -120,6 +120,29 @@ class Mel:
             self._fn_cache[key] = jax.jit(fn)
         return self._fn_cache[key]
 
+    def _encode_quantize_pcm_fn(self, frame_chunk, pad_to, stereo_mean):
+        # RAW PCM-16 variant: int16->float (exact /32768), optional stereo
+        # mean, reference padding, encode, quantize — int16 upload halves
+        # the encode-side host->device bytes
+        key = ("encqp", frame_chunk, pad_to, stereo_mean)
+        if key not in self._fn_cache:
+            c = self.config
+            fwd, _ = self._weights()
+            win = self._win()
+
+            def fn(pcm):
+                x = pcm.astype(self.dtype)
+                if stereo_mean:
+                    x = x.mean(axis=1)
+                x = x / 32768.0
+                if pad_to > x.shape[0]:
+                    x = jnp.pad(x, (0, pad_to - x.shape[0]))
+                spec = mel_encode(x, c.num_mels, c.resolut, c.window, fwd,
+                                  win, frame_chunk=frame_chunk)
+                return quantize_mel_plane(spec, 255)
+            self._fn_cache[key] = jax.jit(fn)
+        return self._fn_cache[key]
+
     def _dequantize_decode_fn(self, momentum, boost):
         # de-quantize + boost + Griffin-Lim decode in ONE device program:
         # only uint8 planes and the extrema are uploaded. VolumeBoost is
@@ -256,6 +279,22 @@ class Mel:
 
     def to_mel_wav(self, input_file: str, output_file: str) -> None:
         """WAV -> mel PNG (reference ToMelWav, mel/mel.go:194-209)."""
+        if self.device_quantize:
+            raw = audio_io.load_wav_pcm16(input_file, mono="left")
+            if raw is not None:
+                pcm, sr = raw
+                c = self.config
+                padded = pad_length(pcm.shape[0], c.window)
+                fc = auto_frame_chunk(num_frames(padded, c.resolut,
+                                                 c.window))
+                fn = self._encode_quantize_pcm_fn(fc, padded, False)
+                img2, mx, mn = fn(jnp.asarray(pcm))
+                img2 = np.asarray(img2)
+                imagecodec.save_mel_image_quantized(
+                    output_file, img2, float(mx), float(mn), c.y_reverse,
+                    self._samples_in_mel(pcm.shape[0], img2.shape[1]),
+                    float(sr))
+                return
         buf, sr = audio_io.load_wav(input_file, mono="left")
         self._to_mel_file(buf, sr, output_file)
 

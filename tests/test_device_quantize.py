@@ -191,3 +191,22 @@ def test_pcm16_nonfinite_flag():
     assert bool(ok) and np.asarray(pcm).dtype == np.int16
     _, bad = pcm16_encode(jnp.asarray([0.1, np.nan], jnp.float32))
     assert not bool(bad)
+
+
+def test_pcm16_ingest_bit_identical_to_float_ingest(tmp_path):
+    """The int16-ingest encode program (conversion + stereo mean + upsample
+    on device) writes the byte-IDENTICAL PNG as the float-ingest device
+    path — /32768 is an exact power-of-two scale and the zero-stuff boost
+    is a small-integer multiply, so the f32 signals agree bitwise."""
+    from gomel_tpu.io.audio import save_wav, load_wav, load_wav_pcm16
+    buf = _audio(secs=1.0, seed=11)
+    wav = str(tmp_path / "in.wav")
+    save_wav(wav, buf, 24000)  # 24 kHz: exercises the device upsample
+    p = Phase(sample_rate=24000, device_quantize=True)
+    f_pcm = str(tmp_path / "pcm.png")
+    f_flt = str(tmp_path / "flt.png")
+    pcm, sr = load_wav_pcm16(wav, mono="left")
+    p._encode_file_pcm(pcm, sr, f_pcm)
+    flt, _ = load_wav(wav, mono="left")
+    p._encode_file(flt, sr, f_flt)
+    assert open(f_pcm, "rb").read() == open(f_flt, "rb").read()
