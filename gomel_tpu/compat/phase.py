@@ -176,6 +176,15 @@ class Phase:
         self._encode_file(audio, sample_rate, output_file, rescale_sr=False)
 
     def to_phase_flac(self, input_file, output_file):
+        if self.device_quantize:
+            raw = _audio.load_flac_pcm16(input_file, mono="mean")
+            if raw is not None:
+                pcm, sample_rate = raw
+                self.reconfigure_sr(sample_rate)
+                self._engine()._encode_file_pcm(
+                    pcm, sample_rate, output_file,
+                    update_sr_after_upsample=True)
+                return
         audio, sample_rate = load_flac_with_sr(input_file)
         self._encode_file(audio, sample_rate, output_file, rescale_sr=True)
 

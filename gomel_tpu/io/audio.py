@@ -83,6 +83,30 @@ def load_wav_pcm16(path: str, mono: str = "mean"):
     return np.ascontiguousarray(audio), int(sr)
 
 
+def load_flac_pcm16(path: str, mono: str = "mean"):
+    """RAW PCM-16 fast-path FLAC loader (see :func:`load_wav_pcm16`):
+    returns (int16 samples, sample_rate) for 16-bit streams — [L] for
+    mono/"go_concat"/"left", [L, C] for mono="mean" (device means it) —
+    or None for deeper streams (callers fall back to :func:`load_flac`).
+    The phase 1/32768 and mel 1/65536 scalings are both power-of-two
+    divisions, exact in f32 on device."""
+    from . import flac as flacdec
+    try:
+        audio, sr = flacdec.read_flac(
+            path, layout="go_concat" if mono == "go_concat" else "interleaved")
+    except FileNotFoundError as e:
+        raise FileNotLoadedError(f"could not load flac {path!r}: {e}") from e
+    except Exception as e:
+        raise FileNotLoadedError(f"could not decode flac {path!r}: {e}") from e
+    if audio.size == 0 or sr == 0:
+        raise FileNotLoadedError(f"empty or invalid flac: {path!r}")
+    if audio.dtype != np.int16:
+        return None
+    if audio.ndim > 1 and mono == "left":
+        audio = audio[:, 0]
+    return np.ascontiguousarray(audio), int(sr)
+
+
 def load_flac(path: str, mono: str = "mean", scaling: str = "phase") -> tuple[np.ndarray, int]:
     """Load a FLAC file -> (float64 mono samples, sample_rate).
 

@@ -120,11 +120,12 @@ class Mel:
             self._fn_cache[key] = jax.jit(fn)
         return self._fn_cache[key]
 
-    def _encode_quantize_pcm_fn(self, frame_chunk, pad_to, stereo_mean):
+    def _encode_quantize_pcm_fn(self, frame_chunk, pad_to, stereo_mean,
+                                scale=32768.0):
         # RAW PCM-16 variant: int16->float (exact /32768), optional stereo
         # mean, reference padding, encode, quantize — int16 upload halves
         # the encode-side host->device bytes
-        key = ("encqp", frame_chunk, pad_to, stereo_mean)
+        key = ("encqp", frame_chunk, pad_to, stereo_mean, float(scale))
         if key not in self._fn_cache:
             c = self.config
             fwd, _ = self._weights()
@@ -134,7 +135,7 @@ class Mel:
                 x = pcm.astype(self.dtype)
                 if stereo_mean:
                     x = x.mean(axis=1)
-                x = x / 32768.0
+                x = x / scale
                 if pad_to > x.shape[0]:
                     x = jnp.pad(x, (0, pad_to - x.shape[0]))
                 spec = mel_encode(x, c.num_mels, c.resolut, c.window, fwd,
@@ -301,6 +302,25 @@ class Mel:
     def to_mel_flac(self, input_file: str, output_file: str) -> None:
         """FLAC -> mel PNG (reference ToMelFlac, mel/mel.go:176-191; note the
         mel package's 1/65536 FLAC scaling, mel/impl.go:290)."""
+        if self.device_quantize:
+            raw = audio_io.load_flac_pcm16(input_file, mono="go_concat")
+            if raw is not None:
+                pcm, sr = raw
+                c = self.config
+                padded = pad_length(pcm.shape[0], c.window)
+                fc = auto_frame_chunk(num_frames(padded, c.resolut,
+                                                 c.window))
+                # mel FLAC scaling 1/65536 (mel/impl.go:290) — power of
+                # two, exact on device
+                fn = self._encode_quantize_pcm_fn(fc, padded, False,
+                                                  scale=65536.0)
+                img2, mx, mn = fn(jnp.asarray(pcm))
+                img2 = np.asarray(img2)
+                imagecodec.save_mel_image_quantized(
+                    output_file, img2, float(mx), float(mn), c.y_reverse,
+                    self._samples_in_mel(pcm.shape[0], img2.shape[1]),
+                    float(sr))
+                return
         buf, sr = audio_io.load_flac(input_file, mono="go_concat",
                                      scaling="mel")
         self._to_mel_file(buf, sr, output_file)

@@ -66,7 +66,8 @@ def _encode_quantize_jit_for(num_freqs, frame_len, hop, frame_chunk,
 @functools.lru_cache(maxsize=64)
 def _encode_quantize_pcm_jit_for(num_freqs, frame_len, hop, frame_chunk,
                                  max_val, ihs_passes, np_dtype,
-                                 zp, zs, pad_to, stereo_mean):
+                                 zp, zs, pad_to, stereo_mean,
+                                 scale=32768.0):
     # the full file-encode program from RAW PCM-16: int16->float (exact:
     # /32768 is a power-of-two scale; a stereo mean sums exact f32
     # integers), zero-stuff upsample (ops/resample — jittable, static
@@ -79,7 +80,7 @@ def _encode_quantize_pcm_jit_for(num_freqs, frame_len, hop, frame_chunk,
         x = pcm.astype(np_dtype)
         if stereo_mean:
             x = x.mean(axis=1)
-        x = x / 32768.0
+        x = x / scale
         x = zero_stuff_upsample(x, zp, zs)
         if pad_to > x.shape[0]:
             x = jnp.pad(x, (0, pad_to - x.shape[0]))
@@ -289,7 +290,8 @@ class Phase:
                 layout=self.metadata_layout)
 
     def _encode_file_pcm(self, pcm: np.ndarray, sr: int, output_file: str,
-                         update_sr_after_upsample: bool = False) -> None:
+                         update_sr_after_upsample: bool = False,
+                         scale: float = 32768.0) -> None:
         """Device-quantize file encode from RAW int16 PCM: the int16->float
         conversion, stereo mean, zero-stuff upsample, padding, encode and
         PNG quantize all run in ONE device program
@@ -311,7 +313,7 @@ class Phase:
         fn = _encode_quantize_pcm_jit_for(
             c.num_freqs, c.resolut, c.window, fc, 65535 if c.hdr else 255,
             c.ihs_passes, np.dtype(self.dtype).name, zp, zs, padded,
-            pcm.ndim == 2)
+            pcm.ndim == 2, float(scale))
         img2, maxs, mins = fn(jnp.asarray(pcm))
         img2 = np.asarray(img2)
         samples_in_mel = float(original) / float(img2.shape[1])
@@ -341,10 +343,19 @@ class Phase:
     def to_phase_flac(self, input_file: str, output_file: str) -> None:
         """FLAC -> phase PNG (reference ToPhaseFlac, phase/phase.go:195-218;
         phase FLAC scaling is 1/32768, phase/impl.go:375)."""
-        buf, sr = audio_io.load_flac(
-            input_file,
-            mono="go_concat" if self.metadata_layout == "go" else "mean",
-            scaling="phase")
+        mono = "go_concat" if self.metadata_layout == "go" else "mean"
+        if self.device_quantize:
+            raw = audio_io.load_flac_pcm16(input_file, mono=mono)
+            if raw is not None:
+                pcm, sr = raw
+                if self.config.sample_rate == 0 \
+                        and self.metadata_layout == "py":
+                    self.reconfigure_sr(sr)
+                self._encode_file_pcm(
+                    pcm, sr, output_file,
+                    update_sr_after_upsample=(self.length_mode == "py"))
+                return
+        buf, sr = audio_io.load_flac(input_file, mono=mono, scaling="phase")
         if self.config.sample_rate == 0 and self.metadata_layout == "py":
             self.reconfigure_sr(sr)
         self._encode_file(buf, sr, output_file,

@@ -210,3 +210,43 @@ def test_pcm16_ingest_bit_identical_to_float_ingest(tmp_path):
     flt, _ = load_wav(wav, mono="left")
     p._encode_file(flt, sr, f_flt)
     assert open(f_pcm, "rb").read() == open(f_flt, "rb").read()
+
+
+def test_flac_pcm16_ingest_device_vs_host(tmp_path):
+    """FLAC file encode through the int16-ingest fused program vs the host
+    path: byte-near PNG (<=1 step), identical metadata — for both codecs
+    (phase 1/32768 and mel 1/65536 scalings are powers of two, exact on
+    device)."""
+    from gomel_tpu.io.flac import write_flac
+    from gomel_tpu.pipelines.mel import Mel
+    from gomel_tpu.core.config import MelConfig
+    buf = _audio(secs=0.8, sr=48000, seed=13)
+    pcm = np.clip(np.rint(buf * 32767), -32768, 32767).astype(np.int16)
+    f = str(tmp_path / "in.flac")
+    write_flac(f, pcm, 48000)
+
+    p_h = str(tmp_path / "ph.png")
+    p_d = str(tmp_path / "pd.png")
+    Phase(sample_rate=48000).to_phase_flac(f, p_h)
+    Phase(sample_rate=48000, device_quantize=True).to_phase_flac(f, p_d)
+    from gomel_tpu.io.pngcodec import read_png
+    a, b = read_png(p_h), read_png(p_d)
+    assert a.shape == b.shape
+    diff = np.abs(a.astype(np.int64) - b.astype(np.int64))
+    diff = np.minimum(diff, 256 - diff)
+    assert diff.max() <= 1
+    sa = imagecodec.load_phase_image(p_h, True, 0, False)
+    sb = imagecodec.load_phase_image(p_d, True, 0, False)
+    assert sa[1:] == sb[1:]
+
+    m_h = str(tmp_path / "mh.png")
+    m_d = str(tmp_path / "md.png")
+    cfg = MelConfig.cli_default()
+    Mel(cfg).to_mel_flac(f, m_h)
+    Mel(cfg, device_quantize=True).to_mel_flac(f, m_d)
+    a, b = read_png(m_h), read_png(m_d)
+    assert a.shape == b.shape
+    assert np.abs(a.astype(np.int64) - b.astype(np.int64)).max() <= 1
+    _, samples_h, sr_h = imagecodec.load_mel_image(m_h, True)
+    _, samples_d, sr_d = imagecodec.load_mel_image(m_d, True)
+    assert (samples_h, sr_h) == (samples_d, sr_d)
