@@ -359,6 +359,7 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
         bp = _batched_phase(cfg)
         for s in range(0, len(items), a.max_batch):
             chunk = items[s:s + a.max_batch]
+            finite_rows = None
             if a.device_quantize:
                 pcm, finite = bp.decode_quantized(
                     np.stack([p for _, (p, _, _), _, _ in chunk]),
@@ -366,12 +367,17 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
                     np.stack([mn for _, (_, _, mn), _, _ in chunk]),
                     pcm16=True)
                 wavs = np.asarray(pcm)  # int16 readback: half the bytes
-                if not bool(finite):
-                    raise ValueError("audio contains NaN/Inf samples")
+                finite_rows = np.asarray(finite)
             else:
                 batch = np.stack([spec for _, spec, _, _ in chunk])
                 wavs = np.asarray(bp.decode(batch), dtype=np.float64)
             for row, (path, _, samples, sr) in enumerate(chunk):
+                if finite_rows is not None and not finite_rows[row]:
+                    # per-row flag: one bad PNG skips that file only
+                    # (matching the loaders' skip-and-continue policy)
+                    print(f"skipping {path}: audio contains NaN/Inf "
+                          f"samples", file=sys.stderr)
+                    continue
                 wave = wavs[row]
                 samples_i = int(samples)
                 if (samples_i > 0
@@ -450,6 +456,7 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
     for frames, items in groups.items():
         for s in range(0, len(items), a.max_batch):
             chunk = items[s:s + a.max_batch]
+            finite_rows = None
             if a.device_quantize:
                 pcm, finite = bm.decode_quantized(
                     np.stack([p for _, (p, _, _), _, _ in chunk]),
@@ -457,13 +464,16 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
                     np.asarray([mn for _, (_, _, mn), _, _ in chunk]),
                     seed=a.seed, boost=a.volume_boost, pcm16=True)
                 wavs = np.asarray(pcm)  # int16 readback: half the bytes
-                if not bool(finite):
-                    raise ValueError("audio contains NaN/Inf samples")
+                finite_rows = np.asarray(finite)
             else:
                 batch = np.stack([spec for _, spec, _, _ in chunk])
                 wavs = np.asarray(bm.decode(batch, seed=a.seed),
                                   dtype=np.float64)
             for row, (path, _, samples, sr) in enumerate(chunk):
+                if finite_rows is not None and not finite_rows[row]:
+                    print(f"skipping {path}: audio contains NaN/Inf "
+                          f"samples", file=sys.stderr)
+                    continue
                 wave = wavs[row]
                 samples_i = int(samples)
                 if (samples_i > 0

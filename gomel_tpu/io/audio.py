@@ -78,8 +78,13 @@ def load_wav_pcm16(path: str, mono: str = "mean"):
         raise FileNotLoadedError(f"empty or invalid wav: {path!r}")
     if audio.dtype != np.int16:
         return None
-    if audio.ndim > 1 and mono == "left":
-        audio = audio[:, 0]
+    if audio.ndim > 1:
+        if mono == "left":
+            audio = audio[:, 0]
+        elif audio.shape[1] > 2:
+            # the device f32 mean is only exact (= host f64 mean) for the
+            # 2-channel sum; 3+ channels double-round — fall back
+            return None
     return np.ascontiguousarray(audio), int(sr)
 
 
@@ -102,8 +107,11 @@ def load_flac_pcm16(path: str, mono: str = "mean"):
         raise FileNotLoadedError(f"empty or invalid flac: {path!r}")
     if audio.dtype != np.int16:
         return None
-    if audio.ndim > 1 and mono == "left":
-        audio = audio[:, 0]
+    if audio.ndim > 1:
+        if mono == "left":
+            audio = audio[:, 0]
+        elif audio.shape[1] > 2:
+            return None  # see load_wav_pcm16: 3+-channel mean double-rounds
     return np.ascontiguousarray(audio), int(sr)
 
 

@@ -20,6 +20,8 @@ with modulo-256/65536 wraparound for the (negative) blue hint values.
 """
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 from .float16meta import pack_floats, unpack_floats
@@ -71,7 +73,8 @@ def dump_buffer_u16(spec: np.ndarray) -> np.ndarray:
 
 def save_mel_image(path: str, spec: np.ndarray, y_reverse: bool,
                    samples_in_mel: float, sample_rate: float,
-                   compress_level: int = 1) -> None:
+                   compress_level: int = 1,
+                   compress_strategy: int = zlib.Z_RLE) -> None:
     """Write a mel spectrogram [F, num_mels, 2] as 8-bit RGBA PNG
     (reference ``dumpimage``: /root/reference/mel/impl.go:127-193).
     ``compress_level``: lossless deflate speed/size trade (pngcodec.write_png)."""
@@ -92,13 +95,15 @@ def save_mel_image(path: str, spec: np.ndarray, y_reverse: bool,
     img[meta_start:, 0, 2] = np.frombuffer(meta, dtype=np.uint8)
     if y_reverse:
         img = img[::-1, :, :]
-    write_png(path, img, compress_level=compress_level)
+    write_png(path, img, compress_level=compress_level,
+              compress_strategy=compress_strategy)
 
 
 def save_mel_image_quantized(path: str, img2: np.ndarray, mgc_max: float,
                              mgc_min: float, y_reverse: bool,
                              samples_in_mel: float, sample_rate: float,
-                             compress_level: int = 1) -> None:
+                             compress_level: int = 1,
+                             compress_strategy: int = zlib.Z_RLE) -> None:
     """Assemble + write a mel PNG from DEVICE-quantized planes
     (ops/quantize.quantize_mel_plane): img2 is [mels, F, 2] uint8 in image
     layout; mgc_max/mgc_min are the global pre-normalization extrema. Only
@@ -117,7 +122,8 @@ def save_mel_image_quantized(path: str, img2: np.ndarray, mgc_max: float,
     img[meta_start:, 0, 2] = np.frombuffer(meta, dtype=np.uint8)
     if y_reverse:
         img = img[::-1, :, :]
-    write_png(path, img, compress_level=compress_level)
+    write_png(path, img, compress_level=compress_level,
+              compress_strategy=compress_strategy)
 
 
 def load_mel_image_raw(path: str, y_reverse: bool
@@ -179,7 +185,8 @@ def load_mel_image(path: str, y_reverse: bool) -> tuple[np.ndarray, float, float
 def save_phase_image(path: str, spec: np.ndarray, y_reverse: bool,
                      samples_in_mel: float, sample_rate: float,
                      ihs_passes: int = 0, hdr: bool = False,
-                     layout: str = "go", compress_level: int = 1) -> None:
+                     layout: str = "go", compress_level: int = 1,
+                     compress_strategy: int = zlib.Z_RLE) -> None:
     """Write a phase spectrogram [F, num_freqs, 2] as PNG.
 
     layout="go": 16-byte metadata, B = -val0 hint, RGBA (NRGBA/NRGBA64 parity,
@@ -219,14 +226,16 @@ def save_phase_image(path: str, spec: np.ndarray, y_reverse: bool,
     img[meta_start:, 0, 2] = np.frombuffer(meta, dtype=np.uint8).astype(dtype)
     if y_reverse:
         img = img[::-1, :, :]
-    write_png(path, img, compress_level=compress_level)
+    write_png(path, img, compress_level=compress_level,
+              compress_strategy=compress_strategy)
 
 
 def save_phase_image_quantized(path: str, img2: np.ndarray, maxs, mins,
                                y_reverse: bool, samples_in_mel: float,
                                sample_rate: float, hdr: bool = False,
                                layout: str = "go",
-                               compress_level: int = 1) -> None:
+                               compress_level: int = 1,
+                               compress_strategy: int = zlib.Z_RLE) -> None:
     """Assemble + write a phase PNG from DEVICE-quantized planes
     (ops/quantize.quantize_planes): img2 is [nf, F, 2] uint8/uint16 in image
     layout; maxs/mins are the per-channel pre-normalization extrema. Only
@@ -262,7 +271,8 @@ def save_phase_image_quantized(path: str, img2: np.ndarray, maxs, mins,
     img[meta_start:, 0, 2] = np.frombuffer(meta, dtype=np.uint8).astype(dtype)
     if y_reverse:
         img = img[::-1, :, :]
-    write_png(path, img, compress_level=compress_level)
+    write_png(path, img, compress_level=compress_level,
+              compress_strategy=compress_strategy)
 
 
 def _detect_phase_layout(img: np.ndarray) -> str:

@@ -85,6 +85,42 @@ def dequantize_mel_plane(img2: jax.Array, mgc_max: jax.Array,
         + mgc_min.astype(jnp.float32)
 
 
+def dequantize_raw(img, maxs, mins, max_val: int, ihs_passes: int = 0,
+                   boost: float = 0.0, dtype=jnp.float32) -> jax.Array:
+    """Layout-agnostic de-quantization core: rescale by extrema (broadcast
+    against ``img``'s trailing axes — per-channel [2] for phase planes,
+    scalars for mel), sinh IHS undo, then an additive log-domain boost.
+    The single source of the rescale math for the fused file-decode
+    programs (pipelines and the sharded long-form variants alike)."""
+    s = img.astype(dtype) / float(max_val)
+    s = s * (jnp.asarray(maxs) - jnp.asarray(mins)).astype(dtype) \
+        + jnp.asarray(mins).astype(dtype)
+    for _ in range(ihs_passes):
+        s = jnp.sinh(s)
+    if boost != 0.0:
+        s = s + jnp.asarray(boost, s.dtype)
+    return s
+
+
+def pcm16_ingest(pcm: jax.Array, dtype, scale: float, pad_to: int = 0,
+                 zp: int = 0, zs: int = 0) -> jax.Array:
+    """Shared device prologue of the raw-PCM fused encode programs:
+    int16 -> float (exact: ``scale`` is a power of two), stereo mean
+    ([L, 2] input; exact — the f32 sum of two int16 is exact), zero-stuff
+    upsample, reference padding. Bit-identical to the host float prep
+    (pinned by tests/test_device_quantize.py)."""
+    from .resample import zero_stuff_upsample
+    x = pcm.astype(dtype)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    x = x / float(scale)
+    if zp > 0:
+        x = zero_stuff_upsample(x, zp, zs)
+    if pad_to > x.shape[0]:
+        x = jnp.pad(x, (0, pad_to - x.shape[0]))
+    return x
+
+
 def pcm16_encode(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Float audio -> (int16 PCM, all-finite flag): the io.audio.save_wav
     conversion (clip to [-1, 1], rint of x*32768, saturate) run ON DEVICE,

@@ -298,7 +298,8 @@ class BatchedMel(_BatchedBase):
         host boundary (imagecodec.load_mel_image_raw feeds this).
         ``pcm16=True`` additionally fuses the save_wav PCM-16 conversion
         (bit-identical, ops/quantize.pcm16_encode) and returns
-        (int16 [B, out_len], all-finite flag) — half the readback."""
+        (int16 [B, out_len], PER-ROW finite flags [B]) — half the
+        readback, and one bad row doesn't poison its batch."""
         key = (float(boost), bool(pcm16))
         if key not in self._decode_q:
             c = self.config
@@ -320,7 +321,7 @@ class BatchedMel(_BatchedBase):
                                   self._row_keys(ig.shape[0], seed))
         if pcm16:
             pcm, finite = out
-            return self._trim(pcm, b), finite.all()
+            return self._trim(pcm, b), self._trim(finite, b)
         return self._trim(out, b)
 
     def encode_buckets(self, utterances: Sequence[np.ndarray],
@@ -398,7 +399,8 @@ class BatchedPhase(_BatchedBase):
         integer planes cross the host boundary
         (imagecodec.load_phase_image_raw feeds this). ``pcm16=True`` fuses
         the save_wav PCM-16 conversion (bit-identical) and returns
-        (int16 [B, out_len], all-finite flag) — half the readback."""
+        (int16 [B, out_len], PER-ROW finite flags [B]) — half the
+        readback, and one bad row doesn't poison its batch."""
         c = self.config
         if self._decode_q is None:
             self._decode_q = {}
@@ -419,7 +421,7 @@ class BatchedPhase(_BatchedBase):
         out = self._decode_q[key](ig, mxg, mng)
         if pcm16:
             pcm, finite = out
-            return self._trim(pcm, b), finite.all()
+            return self._trim(pcm, b), self._trim(finite, b)
         return self._trim(out, b)
 
     def encode_buckets(self, utterances: Sequence[np.ndarray],

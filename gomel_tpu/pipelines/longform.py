@@ -30,8 +30,8 @@ from ..io import audio as audio_io
 from ..io import imagecodec
 from ..ops.griffinlim import griffin_lim_magnitudes as _gl_magnitudes
 from ..ops.mel_ops import mel_to_linear as _mel_to_linear
-from ..ops.quantize import (pcm16_encode, quantize_mel_plane,
-                            quantize_planes)
+from ..ops.quantize import (dequantize_raw, pcm16_encode,
+                            quantize_mel_plane, quantize_planes)
 from ..ops.resample import zero_stuff_upsample
 from ..parallel import sharded as sh
 from ..parallel.mesh import DATA_AXIS, FRAME_AXIS, host_to_global
@@ -252,17 +252,9 @@ class LongFormPhase(_LongFormBase):
             planes_g = self._put(planes_p,
                                  P(DATA_AXIS, FRAME_AXIS, None, None))
             max_val = 65535 if c.hdr else 255
-
-            def _build_deq():
-                def fn(i, mx, mn):
-                    s = i.astype(self.dtype) / max_val
-                    s = s * (mx - mn).astype(self.dtype) \
-                        + mn.astype(self.dtype)
-                    for _ in range(c.ihs_passes):
-                        s = jnp.sinh(s)
-                    return s
-                return jax.jit(fn)
-            deq = self._get(("deq", plan.n_frames_padded), _build_deq)
+            deq = self._get(("deq", plan.n_frames_padded), lambda: jax.jit(
+                lambda i, mx, mn: dequantize_raw(
+                    i, mx, mn, max_val, c.ihs_passes, dtype=self.dtype)))
             spec_g = deq(planes_g, jnp.asarray(maxs, jnp.float32),
                          jnp.asarray(mins, jnp.float32))
             fn = self._get(("dec", plan.n_frames_padded, plan.n_frames,
@@ -412,17 +404,10 @@ class LongFormMel(_LongFormBase):
             planes_g = self._put(planes_p,
                                  P(DATA_AXIS, FRAME_AXIS, None, None))
             boost = float(c.volume_boost)
-
-            def _build_deq():
-                def fn(i, mxv, mnv):
-                    s = i.astype(self.dtype) / 255.0
-                    s = s * (mxv - mnv).astype(self.dtype) \
-                        + mnv.astype(self.dtype)
-                    if boost != 0.0:
-                        s = s + jnp.asarray(boost, s.dtype)
-                    return s
-                return jax.jit(fn)
-            deq = self._get(("deq", plan.n_frames_padded, boost), _build_deq)
+            deq = self._get(("deq", plan.n_frames_padded, boost),
+                            lambda: jax.jit(
+                lambda i, mxv, mnv: dequantize_raw(
+                    i, mxv, mnv, 255, 0, boost, self.dtype)))
             logmel_g = deq(planes_g, jnp.asarray(mx, jnp.float32),
                            jnp.asarray(mn, jnp.float32))
             fn = self._get(("dec", plan.n_frames_padded, plan.n_frames,

@@ -25,7 +25,7 @@ from ..io import audio as audio_io
 from ..io import imagecodec
 from ..ops.mel_ops import mel_encode, mel_decode
 from ..ops.quantize import (dequantize_mel_plane, pcm16_encode,
-                            quantize_mel_plane)
+                            pcm16_ingest, quantize_mel_plane)
 from ..ops.stft import auto_frame_chunk, hann_window
 
 
@@ -120,24 +120,18 @@ class Mel:
             self._fn_cache[key] = jax.jit(fn)
         return self._fn_cache[key]
 
-    def _encode_quantize_pcm_fn(self, frame_chunk, pad_to, stereo_mean,
-                                scale=32768.0):
-        # RAW PCM-16 variant: int16->float (exact /32768), optional stereo
-        # mean, reference padding, encode, quantize — int16 upload halves
-        # the encode-side host->device bytes
-        key = ("encqp", frame_chunk, pad_to, stereo_mean, float(scale))
+    def _encode_quantize_pcm_fn(self, frame_chunk, pad_to, scale=32768.0):
+        # RAW PCM-16 variant: shared device prologue
+        # (ops/quantize.pcm16_ingest — int16->float, mean, pad), then
+        # encode + quantize; int16 upload halves the encode-side bytes
+        key = ("encqp", frame_chunk, pad_to, float(scale))
         if key not in self._fn_cache:
             c = self.config
             fwd, _ = self._weights()
             win = self._win()
 
             def fn(pcm):
-                x = pcm.astype(self.dtype)
-                if stereo_mean:
-                    x = x.mean(axis=1)
-                x = x / scale
-                if pad_to > x.shape[0]:
-                    x = jnp.pad(x, (0, pad_to - x.shape[0]))
+                x = pcm16_ingest(pcm, self.dtype, scale, pad_to)
                 spec = mel_encode(x, c.num_mels, c.resolut, c.window, fwd,
                                   win, frame_chunk=frame_chunk)
                 return quantize_mel_plane(spec, 255)
@@ -288,7 +282,7 @@ class Mel:
                 padded = pad_length(pcm.shape[0], c.window)
                 fc = auto_frame_chunk(num_frames(padded, c.resolut,
                                                  c.window))
-                fn = self._encode_quantize_pcm_fn(fc, padded, False)
+                fn = self._encode_quantize_pcm_fn(fc, padded)
                 img2, mx, mn = fn(jnp.asarray(pcm))
                 img2 = np.asarray(img2)
                 imagecodec.save_mel_image_quantized(
@@ -312,7 +306,7 @@ class Mel:
                                                  c.window))
                 # mel FLAC scaling 1/65536 (mel/impl.go:290) — power of
                 # two, exact on device
-                fn = self._encode_quantize_pcm_fn(fc, padded, False,
+                fn = self._encode_quantize_pcm_fn(fc, padded,
                                                   scale=65536.0)
                 img2, mx, mn = fn(jnp.asarray(pcm))
                 img2 = np.asarray(img2)

@@ -31,7 +31,8 @@ from ..core.framing import is_padded, num_frames, pad_length
 from ..io import audio as audio_io
 from ..io import imagecodec
 from ..ops.phase_ops import phase_encode, phase_decode
-from ..ops.quantize import dequantize_planes, pcm16_encode, quantize_planes
+from ..ops.quantize import (dequantize_planes, pcm16_encode,
+                            pcm16_ingest, quantize_planes)
 from ..ops.resample import zero_stuff_upsample
 from ..ops.stft import auto_frame_chunk, hann_window
 
@@ -66,8 +67,7 @@ def _encode_quantize_jit_for(num_freqs, frame_len, hop, frame_chunk,
 @functools.lru_cache(maxsize=64)
 def _encode_quantize_pcm_jit_for(num_freqs, frame_len, hop, frame_chunk,
                                  max_val, ihs_passes, np_dtype,
-                                 zp, zs, pad_to, stereo_mean,
-                                 scale=32768.0):
+                                 zp, zs, pad_to, scale=32768.0):
     # the full file-encode program from RAW PCM-16: int16->float (exact:
     # /32768 is a power-of-two scale; a stereo mean sums exact f32
     # integers), zero-stuff upsample (ops/resample — jittable, static
@@ -77,13 +77,7 @@ def _encode_quantize_pcm_jit_for(num_freqs, frame_len, hop, frame_chunk,
     window = hann_window(frame_len).astype(np_dtype)
 
     def fn(pcm):
-        x = pcm.astype(np_dtype)
-        if stereo_mean:
-            x = x.mean(axis=1)
-        x = x / scale
-        x = zero_stuff_upsample(x, zp, zs)
-        if pad_to > x.shape[0]:
-            x = jnp.pad(x, (0, pad_to - x.shape[0]))
+        x = pcm16_ingest(pcm, np_dtype, scale, pad_to, zp, zs)
         spec = phase_encode(x, num_freqs, frame_len, hop, window,
                             frame_chunk=frame_chunk)
         return quantize_planes(spec, max_val, ihs_passes)
@@ -313,7 +307,7 @@ class Phase:
         fn = _encode_quantize_pcm_jit_for(
             c.num_freqs, c.resolut, c.window, fc, 65535 if c.hdr else 255,
             c.ihs_passes, np.dtype(self.dtype).name, zp, zs, padded,
-            pcm.ndim == 2, float(scale))
+            float(scale))
         img2, maxs, mins = fn(jnp.asarray(pcm))
         img2 = np.asarray(img2)
         samples_in_mel = float(original) / float(img2.shape[1])
