@@ -24,7 +24,7 @@ from ..core.config import MelConfig, PhaseConfig, num_freqs_for_sample_rate, pad
 from ..core.framing import frames_for_padded, is_padded
 from ..io import imagecodec
 from ..io.audio import save_wav, save_wav_pcm16
-from ..io.dataset import AudioDataset, list_audio_files
+from ..io.dataset import AudioDataset, list_audio_files, pcm_scale_for
 from ..ops.resample import zero_stuff_upsample
 from ..parallel.batch import BatchedMel, BatchedPhase, make_buckets
 
@@ -157,38 +157,57 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
     if not files:
         return _empty_ok(a)
     ds = AudioDataset(files, mono="go_concat", flac_scaling="mel",
-                      num_workers=a.workers)
+                      num_workers=a.workers, raw_pcm16=a.device_quantize)
     items = [(path, buf, sr) for path, buf, sr in ds]
     bm = _batched_mel(cfg)
-    utts = [np.asarray(buf, np.float32) for _, buf, _ in items]
     n_done = 0
     used: set = set()
-    for bucket in make_buckets(utts, cfg.window, max_batch=a.max_batch):
-        frames = np.asarray(
-            [frames_for_padded(int(L), cfg.window, cfg.resolut)
-             for L in bucket.lengths], np.int32)
-        if a.device_quantize:
-            img2b, mxb, mnb = bm.encode_quantized(bucket.audio, frames)
-            img2b, mxb, mnb = (np.asarray(img2b), np.asarray(mxb),
-                               np.asarray(mnb))
-            for row, i in enumerate(bucket.indices):
-                path, buf, sr = items[i]
+    # 16-bit streams arrive as RAW int16 (dataset raw_pcm16 mode) and
+    # upload as int16 with per-row power-of-two scales; deeper streams
+    # fall back to float rows. Bucket each class separately.
+    i16_idx = [i for i, (_, buf, _) in enumerate(items)
+               if a.device_quantize and buf.dtype == np.int16]
+    flt_idx = [i for i in range(len(items)) if i not in set(i16_idx)]
+    for subset, dtype in ((i16_idx, np.int16), (flt_idx, np.float32)):
+        if not subset:
+            continue
+        utts = [items[i][1] for i in subset]
+        for bucket in make_buckets(utts, cfg.window, max_batch=a.max_batch,
+                                   dtype=dtype):
+            frames = np.asarray(
+                [frames_for_padded(int(L), cfg.window, cfg.resolut)
+                 for L in bucket.lengths], np.int32)
+            if a.device_quantize:
+                if dtype == np.int16:
+                    scales = np.asarray(
+                        [pcm_scale_for(items[subset[j]][0],
+                                       items[subset[j]][1], "mel")
+                         for j in bucket.indices], np.float32)
+                    img2b, mxb, mnb = bm.encode_quantized(
+                        bucket.audio, frames, scales=scales)
+                else:
+                    img2b, mxb, mnb = bm.encode_quantized(bucket.audio,
+                                                          frames)
+                img2b, mxb, mnb = (np.asarray(img2b), np.asarray(mxb),
+                                   np.asarray(mnb))
+                for row, j in enumerate(bucket.indices):
+                    path, buf, sr = items[subset[j]]
+                    f = int(frames[row])
+                    imagecodec.save_mel_image_quantized(
+                        _out_path(path, a.out_dir, used), img2b[row][:, :f],
+                        float(mxb[row]), float(mnb[row]), cfg.y_reverse,
+                        float(len(buf)) / f, float(sr))
+                    n_done += 1
+                continue
+            spec_np = np.asarray(bm.encode(bucket.audio), dtype=np.float64)
+            for row, j in enumerate(bucket.indices):
+                path, buf, sr = items[subset[j]]
                 f = int(frames[row])
-                imagecodec.save_mel_image_quantized(
-                    _out_path(path, a.out_dir, used), img2b[row][:, :f],
-                    float(mxb[row]), float(mnb[row]), cfg.y_reverse,
+                spec = spec_np[row, :f]
+                imagecodec.save_mel_image(
+                    _out_path(path, a.out_dir, used), spec, cfg.y_reverse,
                     float(len(buf)) / f, float(sr))
                 n_done += 1
-            continue
-        spec_np = np.asarray(bm.encode(bucket.audio), dtype=np.float64)
-        for row, i in enumerate(bucket.indices):
-            path, buf, sr = items[i]
-            f = int(frames[row])
-            spec = spec_np[row, :f]
-            imagecodec.save_mel_image(
-                _out_path(path, a.out_dir, used), spec, cfg.y_reverse,
-                float(len(buf)) / f, float(sr))
-            n_done += 1
     print(f"encoded {n_done} files", file=sys.stderr)
     return 0
 

@@ -79,8 +79,8 @@ def load_wav_pcm16(path: str, mono: str = "mean"):
     if audio.dtype != np.int16:
         return None
     if audio.ndim > 1:
-        if mono == "left":
-            audio = audio[:, 0]
+        if mono != "mean":
+            audio = audio[:, 0]  # mirror _to_mono: non-"mean" = channel 0
         elif audio.shape[1] > 2:
             # the device f32 mean is only exact (= host f64 mean) for the
             # 2-channel sum; 3+ channels double-round — fall back
@@ -108,8 +108,8 @@ def load_flac_pcm16(path: str, mono: str = "mean"):
     if audio.dtype != np.int16:
         return None
     if audio.ndim > 1:
-        if mono == "left":
-            audio = audio[:, 0]
+        if mono != "mean":
+            audio = audio[:, 0]  # mirror _to_mono (go_concat is already 1-D)
         elif audio.shape[1] > 2:
             return None  # see load_wav_pcm16: 3+-channel mean double-rounds
     return np.ascontiguousarray(audio), int(sr)

@@ -77,12 +77,36 @@ def shard_files_for_group(files: Sequence[str], mesh) -> List[str]:
 
 
 def load_audio(path: str, mono: str = "left",
-               flac_scaling: str = "phase") -> tuple[np.ndarray, int]:
+               flac_scaling: str = "phase",
+               raw_pcm16: bool = False) -> tuple[np.ndarray, int]:
     """Decode one file by extension (WAV via the in-tree io/wavcodec.py,
-    FLAC via the native decoder)."""
-    if path.lower().endswith(".flac"):
+    FLAC via the native decoder).
+
+    ``raw_pcm16=True`` returns RAW int16 samples for 16-bit streams (the
+    device-quantize pipelines convert on device; the scale divisor is
+    derivable from dtype + extension + ``flac_scaling``) and falls back to
+    the float decode otherwise."""
+    flac = path.lower().endswith(".flac")
+    if raw_pcm16:
+        raw = (audio_io.load_flac_pcm16(path, mono=mono) if flac
+               else audio_io.load_wav_pcm16(path, mono=mono))
+        if raw is not None:
+            return raw
+    if flac:
         return audio_io.load_flac(path, mono=mono, scaling=flac_scaling)
     return audio_io.load_wav(path, mono=mono)
+
+
+def pcm_scale_for(path: str, buf: np.ndarray,
+                  flac_scaling: str = "phase") -> float | None:
+    """Scale divisor for a raw int16 buffer from :func:`load_audio`
+    (None for already-scaled float buffers): 32768 for WAV/phase-FLAC,
+    65536 for mel-scaled FLAC (mel/impl.go:290)."""
+    if buf.dtype != np.int16:
+        return None
+    if path.lower().endswith(".flac") and flac_scaling == "mel":
+        return 65536.0
+    return 32768.0
 
 
 class AudioDataset:
@@ -96,12 +120,16 @@ class AudioDataset:
     def __init__(self, files: Sequence[str], mono: str = "left",
                  flac_scaling: str = "phase", num_workers: int = 2,
                  prefetch: int = 8, on_error: str = "skip",
-                 transform: Optional[Callable] = None):
+                 transform: Optional[Callable] = None,
+                 raw_pcm16: bool = False):
         if on_error not in ("skip", "raise"):
             raise ValueError("on_error must be 'skip' or 'raise'")
         self.files = list(files)
         self.mono = mono
         self.flac_scaling = flac_scaling
+        # raw_pcm16: yield int16 buffers for 16-bit streams (float
+        # fallback otherwise) — see load_audio / pcm_scale_for
+        self.raw_pcm16 = raw_pcm16
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.on_error = on_error
@@ -122,7 +150,9 @@ class AudioDataset:
                     return
                 path = self.files[idx]
                 try:
-                    buf, sr = load_audio(path, self.mono, self.flac_scaling)
+                    buf, sr = load_audio(path, self.mono,
+                                         self.flac_scaling,
+                                         raw_pcm16=self.raw_pcm16)
                     if self.transform is not None:
                         buf = self.transform(buf, sr)
                     item = (idx, path, buf, sr, None)

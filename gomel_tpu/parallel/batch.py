@@ -54,13 +54,15 @@ class Bucket:
 
 def make_buckets(utterances: Sequence[np.ndarray], hop: int,
                  max_batch: int = 64,
-                 bucket_boundaries: Optional[Sequence[int]] = None
-                 ) -> List[Bucket]:
+                 bucket_boundaries: Optional[Sequence[int]] = None,
+                 dtype=np.float32) -> List[Bucket]:
     """Group variable-length utterances into fixed-shape padded batches.
 
     Each utterance is first padded with the reference formula
     (``pad_length``); utterances mapping to the same bucket boundary are
     stacked. Default boundaries: powers-of-two multiples of ``15*hop``.
+    ``dtype``: bucket storage dtype — np.int16 for the raw-PCM ingest
+    (device converts), default float32.
     """
     if bucket_boundaries is None:
         base = pad_length(1, hop)
@@ -81,10 +83,10 @@ def make_buckets(utterances: Sequence[np.ndarray], hop: int,
     for b, idxs in sorted(groups.items()):
         for s in range(0, len(idxs), max_batch):
             chunk = idxs[s:s + max_batch]
-            audio = np.zeros((len(chunk), b), dtype=np.float32)
+            audio = np.zeros((len(chunk), b), dtype=dtype)
             lengths = np.zeros(len(chunk), dtype=np.int64)
             for row, i in enumerate(chunk):
-                u = np.asarray(utterances[i], dtype=np.float32)
+                u = np.asarray(utterances[i], dtype=dtype)
                 audio[row, :len(u)] = u
                 lengths[row] = len(u)
             buckets.append(Bucket(audio=audio, lengths=lengths,
@@ -252,6 +254,7 @@ class BatchedMel(_BatchedBase):
         self._gl_momentum = float(gl_momentum)
         # device-quantize fast paths (built lazily on first use)
         self._encode_q = None
+        self._encode_q_pcm = None
         self._decode_q: dict = {}
 
     def encode(self, audio_batch) -> jax.Array:
@@ -260,27 +263,54 @@ class BatchedMel(_BatchedBase):
         xg, b = self._ingest(audio_batch)
         return self._trim(self._encode(xg), b)
 
-    def encode_quantized(self, audio_batch, frames):
+    def encode_quantized(self, audio_batch, frames, scales=None):
         """[B, L_pad] + per-row TRUE frame counts [B] -> (img2 [B, mels,
         F_pad, 2] uint8, mgc_max [B], mgc_min [B]): batched encode with the
         PNG quantizer fused in (ops/quantize.quantize_mel_plane_batch).
         Each row's extrema come from its real frames only — identical grid
         to quantizing the file alone (mel/impl.go:138-152); slice each
-        row's planes to [:, :frames[i]] before writing."""
-        if self._encode_q is None:
-            c = self.config
-            self._encode_q = jax.jit(
-                lambda xb, fr: quantize_mel_plane_batch(
-                    mel_encode_batch(xb, c.num_mels, c.resolut, c.window,
-                                     self._fwd, self._window),
-                    255, frames=fr))
-        xg, b = self._ingest(audio_batch)
+        row's planes to [:, :frames[i]] before writing.
+
+        RAW-PCM ingest: an int16 ``audio_batch`` uploads as int16 (half
+        the bytes) and converts on device; ``scales`` [B] then gives each
+        row's divisor (32768 WAV / 65536 mel-FLAC, io.dataset.pcm_scale_for
+        — powers of two, so the device conversion is exact)."""
+        is_pcm = np.asarray(audio_batch).dtype == np.int16 \
+            if not isinstance(audio_batch, jax.Array) \
+            else audio_batch.dtype == jnp.int16
+        if is_pcm and scales is None:
+            raise ValueError("int16 audio_batch requires per-row scales")
+        c = self.config
+        if is_pcm:
+            if self._encode_q_pcm is None:
+                self._encode_q_pcm = jax.jit(
+                    lambda xb, sc, fr: quantize_mel_plane_batch(
+                        mel_encode_batch(
+                            xb.astype(self.dtype) * sc[:, None],
+                            c.num_mels, c.resolut, c.window,
+                            self._fwd, self._window),
+                        255, frames=fr))
+            xg, b = self._ingest(audio_batch, dtype=np.int16)
+            # multiply by the exact reciprocal of the power-of-two divisor
+            recip = (1.0 / np.asarray(scales, np.float64)).astype(np.float32)
+            scg, _ = self._ingest(recip, dtype=np.float32)
+        else:
+            if self._encode_q is None:
+                self._encode_q = jax.jit(
+                    lambda xb, fr: quantize_mel_plane_batch(
+                        mel_encode_batch(xb, c.num_mels, c.resolut,
+                                         c.window, self._fwd, self._window),
+                        255, frames=fr))
+            xg, b = self._ingest(audio_batch)
         if np.asarray(frames).shape[0] != b:
             raise ValueError(
                 f"frames has {np.asarray(frames).shape[0]} rows for a "
                 f"{b}-row batch")
         fg, _ = self._ingest(frames, dtype=np.int32)
-        img2, mx, mn = self._encode_q(xg, fg)
+        if is_pcm:
+            img2, mx, mn = self._encode_q_pcm(xg, scg, fg)
+        else:
+            img2, mx, mn = self._encode_q(xg, fg)
         return (self._trim(img2, b), self._trim(mx, b), self._trim(mn, b))
 
     def decode(self, logmel_batch, seed: int = 0) -> jax.Array:

@@ -295,3 +295,64 @@ def test_batch_cli_device_quantize(tmp_path):
     for k in range(2):
         w, sr = load_wav(str(tmp_path / "mw" / f"u{k}.wav.png.wav"))
         assert sr == 44100 and len(w) > 0
+
+
+def test_batched_mel_encode_quantized_int16_matches_float():
+    """The raw-PCM batch ingest (int16 upload + per-row power-of-two
+    scales) produces IDENTICAL quantized planes to the float ingest of the
+    converted signal — /32768 and /65536 are exact in f32."""
+    cfg = MelConfig(num_mels=24, **CFG)
+    bm = BatchedMel(cfg)
+    rng = np.random.default_rng(10)
+    L = pad_length(3000, cfg.window)
+    pcm = rng.integers(-32768, 32767, size=(3, L), dtype=np.int16)
+    scales = np.asarray([32768.0, 65536.0, 32768.0], np.float32)
+    from gomel_tpu.core.framing import frames_for_padded
+    frames = np.full(3, frames_for_padded(L, cfg.window, cfg.resolut),
+                     np.int32)
+    img_i, mx_i, mn_i = bm.encode_quantized(pcm, frames, scales=scales)
+    flt = pcm.astype(np.float32) / scales[:, None]
+    img_f, mx_f, mn_f = bm.encode_quantized(flt, frames)
+    np.testing.assert_array_equal(np.asarray(img_i), np.asarray(img_f))
+    np.testing.assert_allclose(np.asarray(mx_i), np.asarray(mx_f), rtol=0)
+    np.testing.assert_allclose(np.asarray(mn_i), np.asarray(mn_f), rtol=0)
+
+
+def test_batch_tomel_mixed_wav_flac_raw_ingest(tmp_path):
+    """batch-tomel's raw int16 ingest handles a mixed WAV+FLAC directory
+    (different per-row scales: 1/32768 vs 1/65536) and its PNGs match the
+    single-file device path byte-for-byte (same program content)."""
+    import os
+    from gomel_tpu.cli.batch import batch_tomel
+    from gomel_tpu.io.audio import save_wav
+    from gomel_tpu.io.flac import write_flac
+    from gomel_tpu.io.pngcodec import read_png
+    rng = np.random.default_rng(11)
+    d = tmp_path / "in"
+    os.makedirs(d)
+    t = np.arange(int(0.5 * 48000)) / 48000
+    a1 = 0.4 * np.sin(2 * np.pi * 300 * t) + 0.02 * rng.standard_normal(t.shape)
+    a2 = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.02 * rng.standard_normal(t.shape)
+    save_wav(str(d / "u0.wav"), a1, 48000)
+    write_flac(str(d / "u1.flac"),
+               np.clip(np.rint(a2 * 32767), -32768, 32767).astype(np.int16),
+               48000)
+    out = tmp_path / "png"
+    rc = batch_tomel([str(d), "--out-dir", str(out), "--window", "256",
+                      "--resolut", "1024", "--num-mels", "32",
+                      "--fmax", "8000"])
+    assert rc == 0
+    names = sorted(p.name for p in out.iterdir())
+    assert names == ["u0.wav.png", "u1.flac.png"]
+    # cross-check vs the single-file device-quantize path
+    from gomel_tpu.pipelines.mel import Mel
+    m = Mel(MelConfig(num_mels=32, mel_fmax=8000.0, y_reverse=True,
+                      window=256, resolut=1024), device_quantize=True)
+    m.to_mel_wav(str(d / "u0.wav"), str(tmp_path / "single0.png"))
+    m.to_mel_flac(str(d / "u1.flac"), str(tmp_path / "single1.png"))
+    for got, want in [("u0.wav.png", "single0.png"),
+                      ("u1.flac.png", "single1.png")]:
+        g = read_png(str(out / got))
+        w = read_png(str(tmp_path / want))
+        assert g.shape == w.shape
+        assert np.abs(g.astype(np.int64) - w.astype(np.int64)).max() <= 1
