@@ -236,7 +236,7 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
     if not files:
         return _empty_ok(a)
     ds = AudioDataset(files, mono="go_concat", flac_scaling="phase",
-                      num_workers=a.workers)
+                      num_workers=a.workers, raw_pcm16=a.device_quantize)
     groups: dict[int, list] = {}
     for path, buf, sr in ds:
         try:
@@ -247,6 +247,10 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
         zp, zs = pad_shift(int(sr))
         original = len(buf)
         if zp > 0:
+            # host upsample needs floats (the boost multiply overflows
+            # int16); zp=0 int16 rows stay raw for the int16 upload path
+            if buf.dtype == np.int16:
+                buf = buf.astype(np.float64) / 32768.0
             buf = np.asarray(zero_stuff_upsample(buf, zp, zs))
         groups.setdefault(nf, []).append((path, buf, original, sr))
 
@@ -256,37 +260,46 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
         cfg = PhaseConfig(num_freqs=nf, window=a.window, resolut=a.resolut,
                           y_reverse=True, ihs=a.ihs, hdr=a.hdr)
         bp = _batched_phase(cfg)
-        utts = [np.asarray(buf, np.float32) for _, buf, _, _ in items]
-        for bucket in make_buckets(utts, cfg.window, max_batch=a.max_batch):
-            frames = np.asarray(
-                [frames_for_padded(int(L), cfg.window, cfg.resolut)
-                 for L in bucket.lengths], np.int32)
-            if a.device_quantize:
-                img2b, mxb, mnb = bp.encode_quantized(bucket.audio, frames)
-                img2b, mxb, mnb = (np.asarray(img2b), np.asarray(mxb),
-                                   np.asarray(mnb))
-                for row, i in enumerate(bucket.indices):
-                    path, buf, original, sr = items[i]
-                    f = int(frames[row])
-                    imagecodec.save_phase_image_quantized(
-                        _out_path(path, a.out_dir, used), img2b[row][:, :f],
-                        mxb[row], mnb[row], cfg.y_reverse,
-                        float(original) / f, float(sr), cfg.hdr,
-                        layout="go")
-                    n_done += 1
+        i16_idx = [i for i, (_, buf, _, _) in enumerate(items)
+                   if buf.dtype == np.int16]
+        flt_idx = [i for i in range(len(items)) if i not in set(i16_idx)]
+        for subset, dtype in ((i16_idx, np.int16), (flt_idx, np.float32)):
+            if not subset:
                 continue
-            spec_np = np.asarray(bp.encode(bucket.audio), dtype=np.float64)
-            for row, i in enumerate(bucket.indices):
-                path, buf, original, sr = items[i]
-                f = int(frames[row])
-                s = spec_np[row, :f]
-                # samples_in_mel uses the PRE-upsample length (Go semantics,
-                # phase/phase.go:202-215)
-                imagecodec.save_phase_image(
-                    _out_path(path, a.out_dir, used), s, cfg.y_reverse,
-                    float(original) / f, float(sr), cfg.ihs_passes, cfg.hdr,
-                    layout="go")
-                n_done += 1
+            utts = [items[i][1] for i in subset]
+            for bucket in make_buckets(utts, cfg.window,
+                                       max_batch=a.max_batch, dtype=dtype):
+                frames = np.asarray(
+                    [frames_for_padded(int(L), cfg.window, cfg.resolut)
+                     for L in bucket.lengths], np.int32)
+                if a.device_quantize:
+                    img2b, mxb, mnb = bp.encode_quantized(bucket.audio,
+                                                          frames)
+                    img2b, mxb, mnb = (np.asarray(img2b), np.asarray(mxb),
+                                       np.asarray(mnb))
+                    for row, j in enumerate(bucket.indices):
+                        path, buf, original, sr = items[subset[j]]
+                        f = int(frames[row])
+                        imagecodec.save_phase_image_quantized(
+                            _out_path(path, a.out_dir, used),
+                            img2b[row][:, :f], mxb[row], mnb[row],
+                            cfg.y_reverse, float(original) / f, float(sr),
+                            cfg.hdr, layout="go")
+                        n_done += 1
+                    continue
+                spec_np = np.asarray(bp.encode(bucket.audio),
+                                     dtype=np.float64)
+                for row, j in enumerate(bucket.indices):
+                    path, buf, original, sr = items[subset[j]]
+                    f = int(frames[row])
+                    s = spec_np[row, :f]
+                    # samples_in_mel uses the PRE-upsample length (Go
+                    # semantics, phase/phase.go:202-215)
+                    imagecodec.save_phase_image(
+                        _out_path(path, a.out_dir, used), s, cfg.y_reverse,
+                        float(original) / f, float(sr), cfg.ihs_passes,
+                        cfg.hdr, layout="go")
+                    n_done += 1
     print(f"encoded {n_done} files", file=sys.stderr)
     return 0
 

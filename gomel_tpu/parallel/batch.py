@@ -383,6 +383,7 @@ class BatchedPhase(_BatchedBase):
                                    float(c.volume_boost), None)))
         # device-quantize fast paths (built lazily on first use)
         self._encode_q = None
+        self._encode_q_pcm = None
         self._decode_q = None
 
     def encode(self, audio_batch) -> jax.Array:
@@ -398,23 +399,41 @@ class BatchedPhase(_BatchedBase):
         (ops/quantize.quantize_planes_batch). Per-row extrema come from the
         row's real frames only — identical grid to quantizing each file
         alone (phase/impl.go:198-222); slice planes to [:, :frames[i]]
-        before writing."""
-        if self._encode_q is None:
-            c = self.config
-            max_val = 65535 if c.hdr else 255
-            self._encode_q = jax.jit(
-                lambda xb, fr: quantize_planes_batch(
-                    jax.vmap(lambda x: phase_encode(
-                        x, c.num_freqs, c.resolut, c.window,
-                        self._window))(xb),
-                    max_val, c.ihs_passes, frames=fr))
-        xg, b = self._ingest(audio_batch)
+        before writing.
+
+        An int16 ``audio_batch`` (already-upsampled-or-zp=0 rows) uploads
+        raw and converts on device at the phase 1/32768 scaling — exact,
+        half the bytes."""
+        c = self.config
+        is_pcm = np.asarray(audio_batch).dtype == np.int16 \
+            if not isinstance(audio_batch, jax.Array) \
+            else audio_batch.dtype == jnp.int16
+        max_val = 65535 if c.hdr else 255
+        if is_pcm:
+            if self._encode_q_pcm is None:
+                self._encode_q_pcm = jax.jit(
+                    lambda xb, fr: quantize_planes_batch(
+                        jax.vmap(lambda x: phase_encode(
+                            x.astype(self.dtype) / 32768.0, c.num_freqs,
+                            c.resolut, c.window, self._window))(xb),
+                        max_val, c.ihs_passes, frames=fr))
+            xg, b = self._ingest(audio_batch, dtype=np.int16)
+        else:
+            if self._encode_q is None:
+                self._encode_q = jax.jit(
+                    lambda xb, fr: quantize_planes_batch(
+                        jax.vmap(lambda x: phase_encode(
+                            x, c.num_freqs, c.resolut, c.window,
+                            self._window))(xb),
+                        max_val, c.ihs_passes, frames=fr))
+            xg, b = self._ingest(audio_batch)
         if np.asarray(frames).shape[0] != b:
             raise ValueError(
                 f"frames has {np.asarray(frames).shape[0]} rows for a "
                 f"{b}-row batch")
         fg, _ = self._ingest(frames, dtype=np.int32)
-        img2, maxs, mins = self._encode_q(xg, fg)
+        fn = self._encode_q_pcm if is_pcm else self._encode_q
+        img2, maxs, mins = fn(xg, fg)
         return (self._trim(img2, b), self._trim(maxs, b),
                 self._trim(mins, b))
 

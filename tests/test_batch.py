@@ -356,3 +356,22 @@ def test_batch_tomel_mixed_wav_flac_raw_ingest(tmp_path):
         w = read_png(str(tmp_path / want))
         assert g.shape == w.shape
         assert np.abs(g.astype(np.int64) - w.astype(np.int64)).max() <= 1
+
+
+def test_batched_phase_encode_quantized_int16_matches_float():
+    """BatchedPhase int16 ingest (fixed 1/32768) == float ingest of the
+    converted batch, bit-for-bit on the quantized planes."""
+    cfg = PhaseConfig(num_freqs=96, **CFG)
+    bp = BatchedPhase(cfg)
+    rng = np.random.default_rng(12)
+    L = pad_length(3000, cfg.window)
+    pcm = rng.integers(-32768, 32767, size=(2, L), dtype=np.int16)
+    from gomel_tpu.core.framing import frames_for_padded
+    frames = np.full(2, frames_for_padded(L, cfg.window, cfg.resolut),
+                     np.int32)
+    img_i, mx_i, mn_i = bp.encode_quantized(pcm, frames)
+    img_f, mx_f, mn_f = bp.encode_quantized(
+        pcm.astype(np.float32) / 32768.0, frames)
+    np.testing.assert_array_equal(np.asarray(img_i), np.asarray(img_f))
+    np.testing.assert_array_equal(np.asarray(mx_i), np.asarray(mx_f))
+    np.testing.assert_array_equal(np.asarray(mn_i), np.asarray(mn_f))
