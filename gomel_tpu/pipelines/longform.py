@@ -133,6 +133,22 @@ class _LongFormBase:
             return _trim_2d(result, b, n)
         return result[:b, :n]
 
+    def _prep_signal_raw(self, pcm, plan: sh.FrameShardPlan):
+        """Int16 variant of _prep_signal (the raw-PCM ingest): pads and
+        shards WITHOUT the float cast — a sharded elementwise conversion
+        jit turns it into floats on device (exact: power-of-two scales)."""
+        x = np.asarray(pcm)
+        if x.ndim == 1:
+            x = x[None, :]
+        x, b = self._pad_batch(x)
+        return self._put(sh.pad_signal_for_plan(x, plan),
+                         P(DATA_AXIS, FRAME_AXIS)), b
+
+    def _pcm_convert(self, scale: float):
+        recip = float(1.0 / scale)
+        return self._get(("pcmconv", float(scale)), lambda: jax.jit(
+            lambda i: i.astype(self.dtype) * recip))
+
     def _require_single_controller(self, what: str) -> None:
         """The file APIs read/write one host file — they need the whole
         array addressable from this process (single controller; incl. the
@@ -188,19 +204,15 @@ class LongFormPhase(_LongFormBase):
 
     # -- file API (hour-scale equivalent of pipelines.phase.Phase;
     #    reference surface: /root/reference/phase/phase.go:195-275) --------
-    def _encode_file(self, buf: np.ndarray, sr: int,
-                     output_file: str) -> None:
-        self._require_single_controller("LongFormPhase file encode")
+    def _write_spec(self, spec, original: int, sr: int,
+                    output_file: str) -> None:
+        """Quantize (device) or pull (host) the encoded [1, F, nf, 2]
+        global spectrogram and write the PNG."""
         c = self.config
-        original = len(buf)  # Go samples_in_mel numerator: PRE-upsample
-        zp, zs = pad_shift(int(sr))
-        if zp > 0:
-            buf = np.asarray(zero_stuff_upsample(buf, zp, zs))
-        spec = self.encode(buf)  # [1, F, nf, 2] global, sharded encode
         n_frames = spec.shape[1]
         samples_in_mel = float(original) / float(n_frames)
         if self.device_quantize:
-            qfn = self._get(("quant", spec.shape[1]), lambda: jax.jit(
+            qfn = self._get(("quant", n_frames), lambda: jax.jit(
                 lambda s: quantize_planes(s[0], 65535 if c.hdr else 255,
                                           c.ihs_passes)))
             img2, maxs, mins = qfn(spec)
@@ -213,16 +225,52 @@ class LongFormPhase(_LongFormBase):
             output_file, np.asarray(spec[0], dtype=np.float64), c.y_reverse,
             samples_in_mel, float(sr), c.ihs_passes, c.hdr, layout="go")
 
+    def _encode_file(self, buf: np.ndarray, sr: int,
+                     output_file: str) -> None:
+        self._require_single_controller("LongFormPhase file encode")
+        original = len(buf)  # Go samples_in_mel numerator: PRE-upsample
+        zp, zs = pad_shift(int(sr))
+        if zp > 0:
+            buf = np.asarray(zero_stuff_upsample(buf, zp, zs))
+        spec = self.encode(buf)  # [1, F, nf, 2] global, sharded encode
+        self._write_spec(spec, original, sr, output_file)
+
+    def _encode_file_pcm(self, pcm: np.ndarray, sr: int,
+                         output_file: str) -> None:
+        """zp=0 raw int16 ingest: upload int16 (half the hour-scale
+        bytes), convert sharded on device, then the standard sharded
+        encode."""
+        self._require_single_controller("LongFormPhase file encode")
+        plan = self._plan(len(pcm))
+        xg, b = self._prep_signal_raw(pcm, plan)
+        xf = self._pcm_convert(32768.0)(xg)
+        fn = self._get(("enc", plan.n_frames_padded, plan.n_frames),
+                       lambda: sh.sharded_phase_encode_fn(
+                           self.mesh, plan, self.config.num_freqs,
+                           self.dtype))
+        spec = self._trim(fn(xf), b, plan.n_frames)
+        self._write_spec(spec, len(pcm), sr, output_file)
+
     def to_phase_wav(self, input_file: str, output_file: str) -> None:
         """WAV -> phase PNG, frame-sharded over the mesh (same file
         orchestration as pipelines.phase.Phase.to_phase_wav — upsample,
         samples_in_mel, Go metadata layout; phase/phase.go:221-244)."""
+        if self.device_quantize:
+            raw = audio_io.load_wav_pcm16(input_file, mono="left")
+            if raw is not None and pad_shift(int(raw[1]))[0] == 0:
+                self._encode_file_pcm(raw[0], raw[1], output_file)
+                return
         buf, sr = audio_io.load_wav(input_file, mono="left")
         self._encode_file(buf, sr, output_file)
 
     def to_phase_flac(self, input_file: str, output_file: str) -> None:
         """FLAC -> phase PNG, frame-sharded (phase/phase.go:195-218;
         1/32768 scaling)."""
+        if self.device_quantize:
+            raw = audio_io.load_flac_pcm16(input_file, mono="go_concat")
+            if raw is not None and pad_shift(int(raw[1]))[0] == 0:
+                self._encode_file_pcm(raw[0], raw[1], output_file)
+                return
         buf, sr = audio_io.load_flac(input_file, mono="go_concat",
                                      scaling="phase")
         self._encode_file(buf, sr, output_file)
@@ -347,11 +395,9 @@ class LongFormMel(_LongFormBase):
     def _samples_in_mel(self, input_len: int, n_frames: int) -> float:
         return float(input_len) / float(n_frames)  # mel/mel.go:188,206
 
-    def _encode_file(self, buf: np.ndarray, sr: int,
-                     output_file: str) -> None:
-        self._require_single_controller("LongFormMel file encode")
+    def _write_spec(self, spec, input_len: int, sr: int,
+                    output_file: str) -> None:
         c = self.config
-        spec = self.encode(buf)  # [1, F, mels, 2] global, sharded encode
         n_frames = spec.shape[1]
         if self.device_quantize:
             qfn = self._get(("quant", n_frames), lambda: jax.jit(
@@ -359,22 +405,54 @@ class LongFormMel(_LongFormBase):
             img2, mx, mn = qfn(spec)
             imagecodec.save_mel_image_quantized(
                 output_file, np.asarray(img2), float(mx), float(mn),
-                c.y_reverse, self._samples_in_mel(len(buf), n_frames),
+                c.y_reverse, self._samples_in_mel(input_len, n_frames),
                 float(sr))
             return
         imagecodec.save_mel_image(
             output_file, np.asarray(spec[0], dtype=np.float64), c.y_reverse,
-            self._samples_in_mel(len(buf), n_frames), float(sr))
+            self._samples_in_mel(input_len, n_frames), float(sr))
+
+    def _encode_file(self, buf: np.ndarray, sr: int,
+                     output_file: str) -> None:
+        self._require_single_controller("LongFormMel file encode")
+        spec = self.encode(buf)  # [1, F, mels, 2] global, sharded encode
+        self._write_spec(spec, len(buf), sr, output_file)
+
+    def _encode_file_pcm(self, pcm: np.ndarray, sr: int, output_file: str,
+                         scale: float) -> None:
+        """Raw int16 ingest (see LongFormPhase._encode_file_pcm); mel has
+        no upsample, so every 16-bit file qualifies. ``scale``: 32768 for
+        WAV, 65536 for mel-scaled FLAC."""
+        self._require_single_controller("LongFormMel file encode")
+        plan = self._plan(len(pcm))
+        xg, b = self._prep_signal_raw(pcm, plan)
+        xf = self._pcm_convert(scale)(xg)
+        fn = self._get(("enc", plan.n_frames_padded, plan.n_frames),
+                       lambda: sh.sharded_mel_encode_fn(
+                           self.mesh, plan, self.config.num_mels,
+                           self._fwd, self.dtype))
+        spec = self._trim(fn(xf), b, plan.n_frames)
+        self._write_spec(spec, len(pcm), sr, output_file)
 
     def to_mel_wav(self, input_file: str, output_file: str) -> None:
         """WAV -> mel PNG, frame-sharded over the mesh (same orchestration
         as pipelines.mel.Mel.to_mel_wav; mel/mel.go:194-209)."""
+        if self.device_quantize:
+            raw = audio_io.load_wav_pcm16(input_file, mono="left")
+            if raw is not None:
+                self._encode_file_pcm(raw[0], raw[1], output_file, 32768.0)
+                return
         buf, sr = audio_io.load_wav(input_file, mono="left")
         self._encode_file(buf, sr, output_file)
 
     def to_mel_flac(self, input_file: str, output_file: str) -> None:
         """FLAC -> mel PNG, frame-sharded (mel/mel.go:176-191; mel 1/65536
         FLAC scaling)."""
+        if self.device_quantize:
+            raw = audio_io.load_flac_pcm16(input_file, mono="go_concat")
+            if raw is not None:
+                self._encode_file_pcm(raw[0], raw[1], output_file, 65536.0)
+                return
         buf, sr = audio_io.load_flac(input_file, mono="go_concat",
                                      scaling="mel")
         self._encode_file(buf, sr, output_file)

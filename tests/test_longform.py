@@ -423,3 +423,18 @@ def test_longform_file_mismatched_mels_raises(mesh, tmp_path):
     bad = LongFormMel(MelConfig(num_mels=16, **CFG), mesh)
     with pytest.raises(ConfigError, match="mel bins"):
         bad.to_wav_png(png, str(tmp_path / "o.wav"))
+
+
+def test_longform_phase_pcm_ingest_matches_float(mesh, tmp_path):
+    """zp=0 raw int16 ingest (sharded device conversion) writes the
+    byte-identical PNG as the float ingest of the same file."""
+    cfg = PhaseConfig(num_freqs=96, **CFG)
+    wav, _ = _file_audio(tmp_path, sr=48000, seed=21)
+    lf = LongFormPhase(cfg, mesh, device_quantize=True)
+    png_pcm = str(tmp_path / "pcm.png")
+    png_flt = str(tmp_path / "flt.png")
+    lf.to_phase_wav(wav, png_pcm)  # routes through _encode_file_pcm
+    from gomel_tpu.io.audio import load_wav
+    buf, sr = load_wav(wav, mono="left")
+    lf._encode_file(buf, sr, png_flt)  # float ingest of the same audio
+    assert open(png_pcm, "rb").read() == open(png_flt, "rb").read()
