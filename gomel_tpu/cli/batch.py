@@ -28,6 +28,26 @@ from ..io.dataset import AudioDataset, list_audio_files, pcm_scale_for
 from ..ops.resample import zero_stuff_upsample
 from ..parallel.batch import BatchedMel, BatchedPhase, make_buckets
 
+class _Overlap:
+    """One-deep dispatch/write pipeline for the device-quantize batch
+    loops: the caller dispatches device call i+1 (JAX returns async
+    arrays), then ``push`` materializes-and-writes call i's results — so
+    host PNG/WAV I/O overlaps the next batch's device compute."""
+
+    def __init__(self):
+        self._pending = None
+
+    def push(self, result, writer) -> None:
+        self.flush()
+        self._pending = (result, writer)
+
+    def flush(self) -> None:
+        if self._pending is not None:
+            result, writer = self._pending
+            self._pending = None
+            writer(*(np.asarray(r) for r in result))
+
+
 # Engine cache: one BatchedMel/BatchedPhase per config, shared across
 # invocations in the same process. A CLI process uses exactly one, but
 # library callers (and benchmarks) invoking these entry points repeatedly
@@ -168,6 +188,20 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
     i16_idx = [i for i, (_, buf, _) in enumerate(items)
                if a.device_quantize and buf.dtype == np.int16]
     flt_idx = [i for i in range(len(items)) if i not in set(i16_idx)]
+    ov = _Overlap()
+
+    def _write_mel(img2b, mxb, mnb, *, subset, frames, indices):
+        nonlocal n_done
+        for row, j in enumerate(indices):
+            path, buf, sr = items[subset[j]]
+            f = int(frames[row])
+            imagecodec.save_mel_image_quantized(
+                _out_path(path, a.out_dir, used), img2b[row][:, :f],
+                float(mxb[row]), float(mnb[row]), cfg.y_reverse,
+                float(len(buf)) / f, float(sr))
+            n_done += 1
+
+    import functools
     for subset, dtype in ((i16_idx, np.int16), (flt_idx, np.float32)):
         if not subset:
             continue
@@ -183,21 +217,14 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
                         [pcm_scale_for(items[subset[j]][0],
                                        items[subset[j]][1], "mel")
                          for j in bucket.indices], np.float32)
-                    img2b, mxb, mnb = bm.encode_quantized(
-                        bucket.audio, frames, scales=scales)
+                    res = bm.encode_quantized(bucket.audio, frames,
+                                              scales=scales)
                 else:
-                    img2b, mxb, mnb = bm.encode_quantized(bucket.audio,
-                                                          frames)
-                img2b, mxb, mnb = (np.asarray(img2b), np.asarray(mxb),
-                                   np.asarray(mnb))
-                for row, j in enumerate(bucket.indices):
-                    path, buf, sr = items[subset[j]]
-                    f = int(frames[row])
-                    imagecodec.save_mel_image_quantized(
-                        _out_path(path, a.out_dir, used), img2b[row][:, :f],
-                        float(mxb[row]), float(mnb[row]), cfg.y_reverse,
-                        float(len(buf)) / f, float(sr))
-                    n_done += 1
+                    res = bm.encode_quantized(bucket.audio, frames)
+                # overlap: write the PREVIOUS bucket while this one runs
+                ov.push(res, functools.partial(
+                    _write_mel, subset=subset, frames=frames,
+                    indices=bucket.indices))
                 continue
             spec_np = np.asarray(bm.encode(bucket.audio), dtype=np.float64)
             for row, j in enumerate(bucket.indices):
@@ -208,6 +235,7 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
                     _out_path(path, a.out_dir, used), spec, cfg.y_reverse,
                     float(len(buf)) / f, float(sr))
                 n_done += 1
+    ov.flush()
     print(f"encoded {n_done} files", file=sys.stderr)
     return 0
 
@@ -256,10 +284,26 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
 
     n_done = 0
     used: set = set()
+    ov = _Overlap()
+    import functools
     for nf, items in groups.items():
         cfg = PhaseConfig(num_freqs=nf, window=a.window, resolut=a.resolut,
                           y_reverse=True, ihs=a.ihs, hdr=a.hdr)
         bp = _batched_phase(cfg)
+
+        def _write_phase(img2b, mxb, mnb, *, items, subset, frames,
+                         indices, cfg):
+            nonlocal n_done
+            for row, j in enumerate(indices):
+                path, buf, original, sr = items[subset[j]]
+                f = int(frames[row])
+                imagecodec.save_phase_image_quantized(
+                    _out_path(path, a.out_dir, used),
+                    img2b[row][:, :f], mxb[row], mnb[row],
+                    cfg.y_reverse, float(original) / f, float(sr),
+                    cfg.hdr, layout="go")
+                n_done += 1
+
         i16_idx = [i for i, (_, buf, _, _) in enumerate(items)
                    if buf.dtype == np.int16]
         flt_idx = [i for i in range(len(items)) if i not in set(i16_idx)]
@@ -273,19 +317,11 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
                     [frames_for_padded(int(L), cfg.window, cfg.resolut)
                      for L in bucket.lengths], np.int32)
                 if a.device_quantize:
-                    img2b, mxb, mnb = bp.encode_quantized(bucket.audio,
-                                                          frames)
-                    img2b, mxb, mnb = (np.asarray(img2b), np.asarray(mxb),
-                                       np.asarray(mnb))
-                    for row, j in enumerate(bucket.indices):
-                        path, buf, original, sr = items[subset[j]]
-                        f = int(frames[row])
-                        imagecodec.save_phase_image_quantized(
-                            _out_path(path, a.out_dir, used),
-                            img2b[row][:, :f], mxb[row], mnb[row],
-                            cfg.y_reverse, float(original) / f, float(sr),
-                            cfg.hdr, layout="go")
-                        n_done += 1
+                    res = bp.encode_quantized(bucket.audio, frames)
+                    # overlap: write the PREVIOUS bucket while this runs
+                    ov.push(res, functools.partial(
+                        _write_phase, items=items, subset=subset,
+                        frames=frames, indices=bucket.indices, cfg=cfg))
                     continue
                 spec_np = np.asarray(bp.encode(bucket.audio),
                                      dtype=np.float64)
@@ -300,6 +336,7 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
                         float(original) / f, float(sr), cfg.ihs_passes,
                         cfg.hdr, layout="go")
                     n_done += 1
+    ov.flush()
     print(f"encoded {n_done} files", file=sys.stderr)
     return 0
 
@@ -384,27 +421,18 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
 
     n_done = 0
     used: set = set()
+    ov = _Overlap()
+    import functools
     for (nf, frames), items in groups.items():
         cfg = PhaseConfig(num_freqs=nf, window=a.window, resolut=a.resolut,
                           y_reverse=True, volume_boost=a.volume_boost,
                           ihs=a.ihs, hdr=a.hdr)
         bp = _batched_phase(cfg)
-        for s in range(0, len(items), a.max_batch):
-            chunk = items[s:s + a.max_batch]
-            finite_rows = None
-            if a.device_quantize:
-                pcm, finite = bp.decode_quantized(
-                    np.stack([p for _, (p, _, _), _, _ in chunk]),
-                    np.stack([mx for _, (_, mx, _), _, _ in chunk]),
-                    np.stack([mn for _, (_, _, mn), _, _ in chunk]),
-                    pcm16=True)
-                wavs = np.asarray(pcm)  # int16 readback: half the bytes
-                finite_rows = np.asarray(finite)
-            else:
-                batch = np.stack([spec for _, spec, _, _ in chunk])
-                wavs = np.asarray(bp.decode(batch), dtype=np.float64)
+
+        def _write_wavs(wavs, finite_rows, *, chunk, cfg):
+            nonlocal n_done
             for row, (path, _, samples, sr) in enumerate(chunk):
-                if finite_rows is not None and not finite_rows[row]:
+                if not finite_rows[row]:
                     # per-row flag: one bad PNG skips that file only
                     # (matching the loaders' skip-and-continue policy)
                     print(f"skipping {path}: audio contains NaN/Inf "
@@ -416,13 +444,35 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
                         and is_padded(samples_i, len(wave), cfg.window)
                         and len(wave) > samples_i):
                     wave = wave[:samples_i]
-                if a.device_quantize:
-                    save_wav_pcm16(_wav_out(path, a.out_dir, used), wave,
-                                   cfg.family_main_rate)
-                else:
-                    save_wav(_wav_out(path, a.out_dir, used), wave,
-                             cfg.family_main_rate)
+                save_wav_pcm16(_wav_out(path, a.out_dir, used), wave,
+                               cfg.family_main_rate)
                 n_done += 1
+
+        for s in range(0, len(items), a.max_batch):
+            chunk = items[s:s + a.max_batch]
+            if a.device_quantize:
+                res = bp.decode_quantized(
+                    np.stack([p for _, (p, _, _), _, _ in chunk]),
+                    np.stack([mx for _, (_, mx, _), _, _ in chunk]),
+                    np.stack([mn for _, (_, _, mn), _, _ in chunk]),
+                    pcm16=True)
+                # overlap: write the PREVIOUS chunk while this decodes
+                ov.push(res, functools.partial(_write_wavs, chunk=chunk,
+                                               cfg=cfg))
+                continue
+            batch = np.stack([spec for _, spec, _, _ in chunk])
+            wavs = np.asarray(bp.decode(batch), dtype=np.float64)
+            for row, (path, _, samples, sr) in enumerate(chunk):
+                wave = wavs[row]
+                samples_i = int(samples)
+                if (samples_i > 0
+                        and is_padded(samples_i, len(wave), cfg.window)
+                        and len(wave) > samples_i):
+                    wave = wave[:samples_i]
+                save_wav(_wav_out(path, a.out_dir, used), wave,
+                         cfg.family_main_rate)
+                n_done += 1
+    ov.flush()
     print(f"decoded {n_done} files", file=sys.stderr)
     return 0
 
@@ -485,27 +535,42 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
     n_done = 0
     used: set = set()
     bm = _batched_mel(cfg, gl_momentum=a.gl_momentum)
+    ov = _Overlap()
+    import functools
+
+    def _write_wavs(wavs, finite_rows, *, chunk):
+        nonlocal n_done
+        for row, (path, _, samples, sr) in enumerate(chunk):
+            if not finite_rows[row]:
+                print(f"skipping {path}: audio contains NaN/Inf "
+                      f"samples", file=sys.stderr)
+                continue
+            wave = wavs[row]
+            samples_i = int(samples)
+            if (samples_i > 0
+                    and is_padded(samples_i, len(wave), cfg.window)
+                    and len(wave) > samples_i):
+                wave = wave[:samples_i]
+            out_sr = a.sample_rate if a.sample_rate else int(sr)
+            save_wav_pcm16(_wav_out(path, a.out_dir, used), wave, out_sr)
+            n_done += 1
+
     for frames, items in groups.items():
         for s in range(0, len(items), a.max_batch):
             chunk = items[s:s + a.max_batch]
-            finite_rows = None
             if a.device_quantize:
-                pcm, finite = bm.decode_quantized(
+                res = bm.decode_quantized(
                     np.stack([p for _, (p, _, _), _, _ in chunk]),
                     np.asarray([mx for _, (_, mx, _), _, _ in chunk]),
                     np.asarray([mn for _, (_, _, mn), _, _ in chunk]),
                     seed=a.seed, boost=a.volume_boost, pcm16=True)
-                wavs = np.asarray(pcm)  # int16 readback: half the bytes
-                finite_rows = np.asarray(finite)
-            else:
-                batch = np.stack([spec for _, spec, _, _ in chunk])
-                wavs = np.asarray(bm.decode(batch, seed=a.seed),
-                                  dtype=np.float64)
+                # overlap: write the PREVIOUS chunk while this decodes
+                ov.push(res, functools.partial(_write_wavs, chunk=chunk))
+                continue
+            batch = np.stack([spec for _, spec, _, _ in chunk])
+            wavs = np.asarray(bm.decode(batch, seed=a.seed),
+                              dtype=np.float64)
             for row, (path, _, samples, sr) in enumerate(chunk):
-                if finite_rows is not None and not finite_rows[row]:
-                    print(f"skipping {path}: audio contains NaN/Inf "
-                          f"samples", file=sys.stderr)
-                    continue
                 wave = wavs[row]
                 samples_i = int(samples)
                 if (samples_i > 0
@@ -513,11 +578,8 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
                         and len(wave) > samples_i):
                     wave = wave[:samples_i]
                 out_sr = a.sample_rate if a.sample_rate else int(sr)
-                if a.device_quantize:
-                    save_wav_pcm16(_wav_out(path, a.out_dir, used), wave,
-                                   out_sr)
-                else:
-                    save_wav(_wav_out(path, a.out_dir, used), wave, out_sr)
+                save_wav(_wav_out(path, a.out_dir, used), wave, out_sr)
                 n_done += 1
+    ov.flush()
     print(f"decoded {n_done} files", file=sys.stderr)
     return 0
