@@ -28,6 +28,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, default=10.0)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--devq-only", action="store_true",
+                    help="skip the host-quantize legs (cliff checks at "
+                         "hour scale where the host legs take minutes)")
     a = ap.parse_args()
     sr = 48000
     secs = a.minutes * 60.0
@@ -44,31 +47,39 @@ def main():
         host = Phase(sample_rate=sr)
         dev = Phase(sample_rate=sr, device_quantize=True)
         png_h, png_d = os.path.join(d, "h.png"), os.path.join(d, "q.png")
-        host.to_phase_wav(wav, png_h)  # warm compiles
+        if not a.devq_only:
+            host.to_phase_wav(wav, png_h)  # warm compiles
         dev.to_phase_wav(wav, png_d)
         eh = ed = float("inf")
         for _ in range(a.runs):
-            t0 = time.perf_counter()
-            host.to_phase_wav(wav, png_h)
-            eh = min(eh, time.perf_counter() - t0)
+            if not a.devq_only:
+                t0 = time.perf_counter()
+                host.to_phase_wav(wav, png_h)
+                eh = min(eh, time.perf_counter() - t0)
             t0 = time.perf_counter()
             dev.to_phase_wav(wav, png_d)
             ed = min(ed, time.perf_counter() - t0)
-        print(f"| to_phase_wav | {eh:.2f} s | {ed:.2f} s | "
-              f"{(eh / ed - 1) * 100:+.0f}% | {secs / ed:.0f} |", flush=True)
+        hcol = "-" if a.devq_only else f"{eh:.2f} s"
+        wcol = "-" if a.devq_only else f"{(eh / ed - 1) * 100:+.0f}%"
+        print(f"| to_phase_wav | {hcol} | {ed:.2f} s | "
+              f"{wcol} | {secs / ed:.0f} |", flush=True)
         out_h, out_d = os.path.join(d, "h.wav"), os.path.join(d, "q.wav")
-        host.to_wav_png(png_h, out_h)  # warm
+        if not a.devq_only:
+            host.to_wav_png(png_h, out_h)  # warm
         dev.to_wav_png(png_d, out_d)
         dh = dd = float("inf")
         for _ in range(a.runs):
-            t0 = time.perf_counter()
-            host.to_wav_png(png_h, out_h)
-            dh = min(dh, time.perf_counter() - t0)
+            if not a.devq_only:
+                t0 = time.perf_counter()
+                host.to_wav_png(png_h, out_h)
+                dh = min(dh, time.perf_counter() - t0)
             t0 = time.perf_counter()
             dev.to_wav_png(png_d, out_d)
             dd = min(dd, time.perf_counter() - t0)
-        print(f"| to_wav_png | {dh:.2f} s | {dd:.2f} s | "
-              f"{(dh / dd - 1) * 100:+.0f}% | {secs / dd:.0f} |", flush=True)
+        hcol = "-" if a.devq_only else f"{dh:.2f} s"
+        wcol = "-" if a.devq_only else f"{(dh / dd - 1) * 100:+.0f}%"
+        print(f"| to_wav_png | {hcol} | {dd:.2f} s | "
+              f"{wcol} | {secs / dd:.0f} |", flush=True)
 
 
 if __name__ == "__main__":

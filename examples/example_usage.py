@@ -58,6 +58,13 @@ def example_files(tmpdir="/tmp/gomel_tpu_example"):
     rate = Phase(sample_rate=sr).to_wav_png(f"{tmpdir}/p.png",
                                             f"{tmpdir}/out.wav")
     print(f"wrote {tmpdir}/out.wav at {rate} Hz")
+    # the fused fast path (the CLI default): raw int16 upload, on-device
+    # (de)quantization, int16 PCM readback — byte-near output, large file
+    # e2e wins (benchmarks/RESULTS.md r5)
+    fast = Phase(sample_rate=sr, device_quantize=True)
+    fast.to_phase_wav(f"{tmpdir}/in.wav", f"{tmpdir}/p_fast.png")
+    fast.to_wav_png(f"{tmpdir}/p_fast.png", f"{tmpdir}/out_fast.wav")
+    print("device-quantize fast path: wrote out_fast.wav")
 
 
 def example_compat():
