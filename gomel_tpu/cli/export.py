@@ -85,6 +85,15 @@ def export_tool(argv: Optional[Sequence[str]] = None) -> int:
     pd.add_argument("--sample-rate", type=int, default=48000)
     pd.add_argument("--preset", choices=("cli", "sr"), default="sr")
 
+    pr = sub.add_parser("phase-rt",
+                        help="[B,T] audio -> [B,L] audio: ONE fused "
+                             "encode->decode program (+12% over two "
+                             "dispatches, RESULTS.md r5)")
+    _common(pr)
+    pr.add_argument("--seconds", type=float, required=True)
+    pr.add_argument("--sample-rate", type=int, default=48000)
+    pr.add_argument("--preset", choices=("cli", "sr"), default="sr")
+
     a = parser.parse_args(argv)
     from .. import serving
     batch = a.batch if a.batch > 0 else None
@@ -106,6 +115,12 @@ def export_tool(argv: Optional[Sequence[str]] = None) -> int:
     elif a.kind == "phase-enc":
         cfg = _phase_cfg(a)
         exp = serving.export_phase_encoder(
+            cfg, seconds=a.seconds, sample_rate=a.sample_rate,
+            batch=batch, platforms=platforms)
+        extra = {"seconds": a.seconds, "sample_rate": a.sample_rate}
+    elif a.kind == "phase-rt":
+        cfg = _phase_cfg(a)
+        exp = serving.export_phase_roundtrip(
             cfg, seconds=a.seconds, sample_rate=a.sample_rate,
             batch=batch, platforms=platforms)
         extra = {"seconds": a.seconds, "sample_rate": a.sample_rate}
