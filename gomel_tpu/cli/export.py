@@ -85,6 +85,32 @@ def export_tool(argv: Optional[Sequence[str]] = None) -> int:
     pd.add_argument("--sample-rate", type=int, default=48000)
     pd.add_argument("--preset", choices=("cli", "sr"), default="sr")
 
+    for kind, helptext in (
+            ("mel-enc-q", "[B,T] audio -> (uint8 planes, extrema): mel "
+                          "encode with the PNG quantizer fused in"),
+            ("phase-enc-q", "[B,T] audio -> (uint8/16 planes, extrema): "
+                            "phase encode with the PNG quantizer fused in"),
+    ):
+        q = sub.add_parser(kind, help=helptext)
+        _common(q)
+        q.add_argument("--seconds", type=float, required=True)
+        q.add_argument("--sample-rate", type=int, default=48000)
+        q.add_argument("--preset", choices=("cli", "sr", "lib"),
+                       default="sr" if kind.startswith("phase") else "cli")
+    for kind, helptext in (
+            ("mel-dec-q", "(uint8 planes, extrema, keys) -> int16 PCM: "
+                          "fused dequantize + Griffin-Lim + PCM-16"),
+            ("phase-dec-q", "(planes, extrema) -> int16 PCM: fused "
+                            "dequantize + iSTFT + PCM-16"),
+    ):
+        q = sub.add_parser(kind, help=helptext)
+        _common(q)
+        q.add_argument("--n-frames", type=int, required=True)
+        q.add_argument("--sample-rate", type=int, default=48000)
+        q.add_argument("--momentum", type=float, default=0.0)
+        q.add_argument("--preset", choices=("cli", "sr", "lib"),
+                       default="sr" if kind.startswith("phase") else "cli")
+
     pr = sub.add_parser("phase-rt",
                         help="[B,T] audio -> [B,L] audio: ONE fused "
                              "encode->decode program (+12% over two "
@@ -124,6 +150,29 @@ def export_tool(argv: Optional[Sequence[str]] = None) -> int:
             cfg, seconds=a.seconds, sample_rate=a.sample_rate,
             batch=batch, platforms=platforms)
         extra = {"seconds": a.seconds, "sample_rate": a.sample_rate}
+    elif a.kind == "mel-enc-q":
+        cfg = _mel_cfg(a)
+        exp = serving.export_mel_encoder_quantized(
+            cfg, seconds=a.seconds, sample_rate=a.sample_rate,
+            batch=batch, platforms=platforms)
+        extra = {"seconds": a.seconds, "sample_rate": a.sample_rate}
+    elif a.kind == "phase-enc-q":
+        cfg = _phase_cfg(a)
+        exp = serving.export_phase_encoder_quantized(
+            cfg, seconds=a.seconds, sample_rate=a.sample_rate,
+            batch=batch, platforms=platforms)
+        extra = {"seconds": a.seconds, "sample_rate": a.sample_rate}
+    elif a.kind == "mel-dec-q":
+        cfg = _mel_cfg(a)
+        exp = serving.export_mel_decoder_quantized(
+            cfg, n_frames=a.n_frames, batch=batch, momentum=a.momentum,
+            platforms=platforms)
+        extra = {"n_frames": a.n_frames, "momentum": a.momentum}
+    elif a.kind == "phase-dec-q":
+        cfg = _phase_cfg(a)
+        exp = serving.export_phase_decoder_quantized(
+            cfg, n_frames=a.n_frames, batch=batch, platforms=platforms)
+        extra = {"n_frames": a.n_frames}
     else:
         cfg = _phase_cfg(a)
         exp = serving.export_phase_decoder(

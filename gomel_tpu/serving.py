@@ -62,8 +62,11 @@ from jax import export as jax_export
 from .core.config import MelConfig, PhaseConfig
 from .core.filterbank import inverse_mel_weights, mel_weights
 from .core.framing import pad_length
-from .ops.mel_ops import mel_decode, mel_encode_batch
+from .ops.mel_ops import mel_decode, mel_encode, mel_encode_batch
 from .ops.phase_ops import phase_decode, phase_encode
+from .ops.quantize import (dequantize_mel_plane, dequantize_planes,
+                           pcm16_encode, quantize_mel_plane,
+                           quantize_planes)
 from .ops.stft import hann_window
 
 DEFAULT_PLATFORMS = ("tpu", "cpu")
@@ -230,6 +233,124 @@ def export_phase_roundtrip(config: PhaseConfig, *, seconds: float,
     b = _batch_dim(batch)
     spec = jax.ShapeDtypeStruct((b, n), dtype)
     return jax_export.export(fn, platforms=list(platforms))(spec)
+
+
+def export_phase_encoder_quantized(config: PhaseConfig, *, seconds: float,
+                                   sample_rate: int = 0, batch=None,
+                                   dtype=jnp.float32,
+                                   fft_backend: str = "mxu",
+                                   platforms=DEFAULT_PLATFORMS
+                                   ) -> jax_export.Exported:
+    """[B, n_samples] audio -> (planes [B, nf, F, 2] uint8|uint16,
+    maxs [B, 2], mins [B, 2]): the file-ingest serving program — encode
+    with the PNG quantizer (incl. IHS) fused in, per-row extrema (each row
+    an independent stream). The artifact's output boundary carries only
+    integer planes + extrema, matching the measured-minimal design of the
+    live file paths (docs/DESIGN.md §11)."""
+    c = config
+    sr = int(sample_rate) or c.sample_rate
+    if sr <= 0:
+        raise ValueError("sample_rate must be set (argument or config) to "
+                         "size the artifact's audio input")
+    n = padded_samples(seconds, sr, c.window)
+    win = jnp.asarray(hann_window(c.resolut), dtype)
+    max_val = 65535 if c.hdr else 255
+
+    def enc_one(x):
+        spec = phase_encode(x, c.num_freqs, c.resolut, c.window, win,
+                            fft_backend=fft_backend)
+        return quantize_planes(spec, max_val, c.ihs_passes)
+
+    fn = jax.jit(jax.vmap(enc_one))
+    b = _batch_dim(batch)
+    spec = jax.ShapeDtypeStruct((b, n), dtype)
+    return jax_export.export(fn, platforms=list(platforms))(spec)
+
+
+def export_phase_decoder_quantized(config: PhaseConfig, *, n_frames: int,
+                                   batch=None, dtype=jnp.float32,
+                                   fft_backend: str = "xla",
+                                   platforms=DEFAULT_PLATFORMS
+                                   ) -> jax_export.Exported:
+    """(planes [B, nf, F, 2] uint8|uint16, maxs [B, 2], mins [B, 2]) ->
+    (int16 PCM [B, L], finite [B]): the file-decode serving program —
+    fused dequantize (+sinh undo) + direct iSTFT + the bit-exact save_wav
+    PCM-16 conversion. Integer planes in, int16 samples out."""
+    c = config
+    max_val = 65535 if c.hdr else 255
+
+    def dec_one(planes, mx, mn):
+        spec = dequantize_planes(planes, mx, mn, max_val, c.ihs_passes)
+        return pcm16_encode(phase_decode(spec, c.resolut, c.window,
+                                         c.volume_boost, None,
+                                         fft_backend=fft_backend))
+
+    fn = jax.jit(jax.vmap(dec_one))
+    b = _batch_dim(batch)
+    pdt = jnp.uint16 if c.hdr else jnp.uint8
+    pspec = jax.ShapeDtypeStruct((b, c.num_freqs, n_frames, 2), pdt)
+    espec = jax.ShapeDtypeStruct((b, 2), jnp.float32)
+    return jax_export.export(fn, platforms=list(platforms))(pspec, espec,
+                                                            espec)
+
+
+def export_mel_encoder_quantized(config: MelConfig, *, seconds: float,
+                                 sample_rate: int, batch=None,
+                                 dtype=jnp.float32,
+                                 fft_backend: str = "mxu",
+                                 platforms=DEFAULT_PLATFORMS
+                                 ) -> jax_export.Exported:
+    """[B, n_samples] audio -> (planes [B, mels, F, 2] uint8, mgc_max [B],
+    mgc_min [B]): mel file-ingest serving program (GLOBAL per-row extrema,
+    mel/impl.go:138-152)."""
+    c = config
+    n = padded_samples(seconds, int(sample_rate), c.window)
+    fwd = jnp.asarray(mel_weights(c.n_bins, c.num_mels, c.mel_fmin,
+                                  c.mel_fmax), dtype)
+    win = jnp.asarray(hann_window(c.resolut), dtype)
+
+    def enc_one(x):
+        spec = mel_encode(x, c.num_mels, c.resolut, c.window, fwd, win,
+                          fft_backend=fft_backend)
+        return quantize_mel_plane(spec, 255)
+
+    fn = jax.jit(jax.vmap(enc_one))
+    b = _batch_dim(batch)
+    spec = jax.ShapeDtypeStruct((b, n), dtype)
+    return jax_export.export(fn, platforms=list(platforms))(spec)
+
+
+def export_mel_decoder_quantized(config: MelConfig, *, n_frames: int,
+                                 batch=None, dtype=jnp.float32,
+                                 fft_backend: str = "mm",
+                                 momentum: float = 0.0,
+                                 platforms=DEFAULT_PLATFORMS
+                                 ) -> jax_export.Exported:
+    """(planes [B, mels, F, 2] uint8, mgc_max [B], mgc_min [B],
+    keys [B, 2] uint32) -> (int16 PCM [B, L], finite [B]): fused
+    dequantize + VolumeBoost + Griffin-Lim + PCM-16 conversion."""
+    c = config
+    inv = jnp.asarray(inverse_mel_weights(c.n_bins, c.num_mels, c.mel_fmin,
+                                          c.mel_fmax), dtype)
+    boost = float(c.volume_boost)
+
+    def dec_one(planes, mx, mn, key):
+        lm = dequantize_mel_plane(planes, mx, mn, 255)
+        if boost != 0.0:
+            lm = lm + jnp.asarray(boost, lm.dtype)
+        wave = mel_decode(lm, c.resolut, c.window, inv,
+                          c.griffin_lim_iterations, key,
+                          c.tune_mul, c.tune_add, None,
+                          fft_backend=fft_backend, momentum=momentum)
+        return pcm16_encode(wave)
+
+    fn = jax.jit(jax.vmap(dec_one))
+    b = _batch_dim(batch)
+    pspec = jax.ShapeDtypeStruct((b, c.num_mels, n_frames, 2), jnp.uint8)
+    escpec = jax.ShapeDtypeStruct((b,), jnp.float32)
+    kspec = jax.ShapeDtypeStruct((b, 2), jnp.uint32)
+    return jax_export.export(fn, platforms=list(platforms))(pspec, escpec,
+                                                            escpec, kspec)
 
 
 # -- sharded long-form exports ------------------------------------------------

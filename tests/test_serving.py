@@ -329,3 +329,65 @@ def test_phase_roundtrip_artifact_matches_two_stage(tmp_path):
                                        batch=2, platforms=("cpu",))
     want = np.asarray(dec.call(spec))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_quantized_artifacts_match_live_paths(tmp_path):
+    """The quantized serving exports (r5: integer planes in/out, PCM-16
+    out) compute exactly what the live device-quantize paths compute."""
+    from gomel_tpu.pipelines.phase import Phase as LivePhase
+    eexp = serving.export_phase_encoder_quantized(
+        PCFG, seconds=0.1, batch=2, fft_backend="xla", platforms=("cpu",))
+    p = str(tmp_path / "encq.jaxexp")
+    serving.save_exported(eexp, p)
+    art = serving.load_exported(p)
+    n = eexp.in_avals[0].shape[1]
+    x = _audio(2, n, seed=7)
+    planes, maxs, mins = art.call(jnp.asarray(x))
+    assert np.asarray(planes).dtype == np.uint8
+    # live single-stream path on each row (same program content, xla fft)
+    live = LivePhase(PCFG, device_quantize=True)
+    from gomel_tpu.ops.quantize import quantize_planes
+    from gomel_tpu.ops.phase_ops import phase_encode
+    from gomel_tpu.ops.stft import hann_window
+    win = jnp.asarray(hann_window(PCFG.resolut), jnp.float32)
+    for i in range(2):
+        spec = phase_encode(jnp.asarray(x[i]), PCFG.num_freqs, PCFG.resolut,
+                            PCFG.window, win, fft_backend="xla")
+        w_img, w_mx, w_mn = quantize_planes(spec, 255, 0)
+        np.testing.assert_array_equal(np.asarray(planes)[i],
+                                      np.asarray(w_img))
+        np.testing.assert_allclose(np.asarray(maxs)[i], np.asarray(w_mx),
+                                   rtol=1e-6)
+
+    dexp = serving.export_phase_decoder_quantized(
+        PCFG, n_frames=planes.shape[2], batch=2, platforms=("cpu",))
+    p2 = str(tmp_path / "decq.jaxexp")
+    serving.save_exported(dexp, p2)
+    art2 = serving.load_exported(p2)
+    pcm, finite = art2.call(planes, maxs.astype(jnp.float32),
+                            mins.astype(jnp.float32))
+    assert np.asarray(pcm).dtype == np.int16
+    assert np.asarray(finite).all()
+    # live fused decode on row 0
+    want_pcm, want_fin = live.decode_quantized_pcm16(
+        np.asarray(planes)[0], np.asarray(maxs)[0], np.asarray(mins)[0])
+    np.testing.assert_array_equal(np.asarray(pcm)[0], np.asarray(want_pcm))
+
+
+def test_quantized_mel_artifacts_run(tmp_path):
+    eexp = serving.export_mel_encoder_quantized(
+        CFG, seconds=0.05, sample_rate=8000, batch=2, fft_backend="xla",
+        platforms=("cpu",))
+    n = eexp.in_avals[0].shape[1]
+    x = _audio(2, n, seed=8)
+    planes, mx, mn = eexp.call(jnp.asarray(x))
+    assert np.asarray(planes).dtype == np.uint8
+    dexp = serving.export_mel_decoder_quantized(
+        CFG, n_frames=planes.shape[2], batch=2, platforms=("cpu",))
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    pcm, finite = dexp.call(planes, mx.astype(jnp.float32),
+                            mn.astype(jnp.float32),
+                            keys.astype(jnp.uint32))
+    assert np.asarray(pcm).dtype == np.int16
+    assert np.asarray(finite).all()
+    assert np.abs(np.asarray(pcm)).max() > 0
