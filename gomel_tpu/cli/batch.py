@@ -187,7 +187,8 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
     # fall back to float rows. Bucket each class separately.
     i16_idx = [i for i, (_, buf, _) in enumerate(items)
                if a.device_quantize and buf.dtype == np.int16]
-    flt_idx = [i for i in range(len(items)) if i not in set(i16_idx)]
+    _i16 = set(i16_idx)
+    flt_idx = [i for i in range(len(items)) if i not in _i16]
     ov = _Overlap()
 
     def _write_mel(img2b, mxb, mnb, *, subset, frames, indices):
@@ -202,40 +203,45 @@ def batch_tomel(argv: Optional[Sequence[str]] = None) -> int:
             n_done += 1
 
     import functools
-    for subset, dtype in ((i16_idx, np.int16), (flt_idx, np.float32)):
-        if not subset:
-            continue
-        utts = [items[i][1] for i in subset]
-        for bucket in make_buckets(utts, cfg.window, max_batch=a.max_batch,
-                                   dtype=dtype):
-            frames = np.asarray(
-                [frames_for_padded(int(L), cfg.window, cfg.resolut)
-                 for L in bucket.lengths], np.int32)
-            if a.device_quantize:
-                if dtype == np.int16:
-                    scales = np.asarray(
-                        [pcm_scale_for(items[subset[j]][0],
-                                       items[subset[j]][1], "mel")
-                         for j in bucket.indices], np.float32)
-                    res = bm.encode_quantized(bucket.audio, frames,
-                                              scales=scales)
-                else:
-                    res = bm.encode_quantized(bucket.audio, frames)
-                # overlap: write the PREVIOUS bucket while this one runs
-                ov.push(res, functools.partial(
-                    _write_mel, subset=subset, frames=frames,
-                    indices=bucket.indices))
+    try:
+        for subset, dtype in ((i16_idx, np.int16), (flt_idx, np.float32)):
+            if not subset:
                 continue
-            spec_np = np.asarray(bm.encode(bucket.audio), dtype=np.float64)
-            for row, j in enumerate(bucket.indices):
-                path, buf, sr = items[subset[j]]
-                f = int(frames[row])
-                spec = spec_np[row, :f]
-                imagecodec.save_mel_image(
-                    _out_path(path, a.out_dir, used), spec, cfg.y_reverse,
-                    float(len(buf)) / f, float(sr))
-                n_done += 1
-    ov.flush()
+            utts = [items[i][1] for i in subset]
+            for bucket in make_buckets(utts, cfg.window,
+                                       max_batch=a.max_batch, dtype=dtype):
+                frames = np.asarray(
+                    [frames_for_padded(int(L), cfg.window, cfg.resolut)
+                     for L in bucket.lengths], np.int32)
+                if a.device_quantize:
+                    if dtype == np.int16:
+                        scales = np.asarray(
+                            [pcm_scale_for(items[subset[j]][0],
+                                           items[subset[j]][1], "mel")
+                             for j in bucket.indices], np.float32)
+                        res = bm.encode_quantized(bucket.audio, frames,
+                                                  scales=scales)
+                    else:
+                        res = bm.encode_quantized(bucket.audio, frames)
+                    # overlap: write the PREVIOUS bucket while this runs
+                    ov.push(res, functools.partial(
+                        _write_mel, subset=subset, frames=frames,
+                        indices=bucket.indices))
+                    continue
+                spec_np = np.asarray(bm.encode(bucket.audio),
+                                     dtype=np.float64)
+                for row, j in enumerate(bucket.indices):
+                    path, buf, sr = items[subset[j]]
+                    f = int(frames[row])
+                    spec = spec_np[row, :f]
+                    imagecodec.save_mel_image(
+                        _out_path(path, a.out_dir, used), spec,
+                        cfg.y_reverse, float(len(buf)) / f, float(sr))
+                    n_done += 1
+    finally:
+        # a mid-run failure must not lose the last COMPLETED batch's files
+        # (partial-output guarantee for resumable array jobs)
+        ov.flush()
     print(f"encoded {n_done} files", file=sys.stderr)
     return 0
 
@@ -286,7 +292,8 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
     used: set = set()
     ov = _Overlap()
     import functools
-    for nf, items in groups.items():
+    try:
+      for nf, items in groups.items():
         cfg = PhaseConfig(num_freqs=nf, window=a.window, resolut=a.resolut,
                           y_reverse=True, ihs=a.ihs, hdr=a.hdr)
         bp = _batched_phase(cfg)
@@ -306,7 +313,8 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
 
         i16_idx = [i for i, (_, buf, _, _) in enumerate(items)
                    if buf.dtype == np.int16]
-        flt_idx = [i for i in range(len(items)) if i not in set(i16_idx)]
+        _i16 = set(i16_idx)
+        flt_idx = [i for i in range(len(items)) if i not in _i16]
         for subset, dtype in ((i16_idx, np.int16), (flt_idx, np.float32)):
             if not subset:
                 continue
@@ -336,7 +344,8 @@ def batch_tophase(argv: Optional[Sequence[str]] = None) -> int:
                         float(original) / f, float(sr), cfg.ihs_passes,
                         cfg.hdr, layout="go")
                     n_done += 1
-    ov.flush()
+    finally:
+        ov.flush()  # keep the last completed batch on a mid-run failure
     print(f"encoded {n_done} files", file=sys.stderr)
     return 0
 
@@ -423,7 +432,8 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
     used: set = set()
     ov = _Overlap()
     import functools
-    for (nf, frames), items in groups.items():
+    try:
+      for (nf, frames), items in groups.items():
         cfg = PhaseConfig(num_freqs=nf, window=a.window, resolut=a.resolut,
                           y_reverse=True, volume_boost=a.volume_boost,
                           ihs=a.ihs, hdr=a.hdr)
@@ -472,7 +482,8 @@ def batch_fromphase(argv: Optional[Sequence[str]] = None) -> int:
                 save_wav(_wav_out(path, a.out_dir, used), wave,
                          cfg.family_main_rate)
                 n_done += 1
-    ov.flush()
+    finally:
+        ov.flush()  # keep the last completed chunk on a mid-run failure
     print(f"decoded {n_done} files", file=sys.stderr)
     return 0
 
@@ -555,7 +566,8 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
             save_wav_pcm16(_wav_out(path, a.out_dir, used), wave, out_sr)
             n_done += 1
 
-    for frames, items in groups.items():
+    try:
+      for frames, items in groups.items():
         for s in range(0, len(items), a.max_batch):
             chunk = items[s:s + a.max_batch]
             if a.device_quantize:
@@ -580,6 +592,7 @@ def batch_towav(argv: Optional[Sequence[str]] = None) -> int:
                 out_sr = a.sample_rate if a.sample_rate else int(sr)
                 save_wav(_wav_out(path, a.out_dir, used), wave, out_sr)
                 n_done += 1
-    ov.flush()
+    finally:
+        ov.flush()  # keep the last completed chunk on a mid-run failure
     print(f"decoded {n_done} files", file=sys.stderr)
     return 0

@@ -85,31 +85,42 @@ def export_tool(argv: Optional[Sequence[str]] = None) -> int:
     pd.add_argument("--sample-rate", type=int, default=48000)
     pd.add_argument("--preset", choices=("cli", "sr"), default="sr")
 
-    for kind, helptext in (
-            ("mel-enc-q", "[B,T] audio -> (uint8 planes, extrema): mel "
-                          "encode with the PNG quantizer fused in"),
-            ("phase-enc-q", "[B,T] audio -> (uint8/16 planes, extrema): "
-                            "phase encode with the PNG quantizer fused in"),
-    ):
-        q = sub.add_parser(kind, help=helptext)
-        _common(q)
-        q.add_argument("--seconds", type=float, required=True)
-        q.add_argument("--sample-rate", type=int, default=48000)
-        q.add_argument("--preset", choices=("cli", "sr", "lib"),
-                       default="sr" if kind.startswith("phase") else "cli")
-    for kind, helptext in (
-            ("mel-dec-q", "(uint8 planes, extrema, keys) -> int16 PCM: "
-                          "fused dequantize + Griffin-Lim + PCM-16"),
-            ("phase-dec-q", "(planes, extrema) -> int16 PCM: fused "
-                            "dequantize + iSTFT + PCM-16"),
-    ):
-        q = sub.add_parser(kind, help=helptext)
-        _common(q)
-        q.add_argument("--n-frames", type=int, required=True)
-        q.add_argument("--sample-rate", type=int, default=48000)
-        q.add_argument("--momentum", type=float, default=0.0)
-        q.add_argument("--preset", choices=("cli", "sr", "lib"),
-                       default="sr" if kind.startswith("phase") else "cli")
+    # per-kind preset choices mirror the non-quantized parsers: _mel_cfg
+    # understands ("cli", "lib"), _phase_cfg ("cli", "sr") — offering more
+    # would be silently misread
+    meq = sub.add_parser("mel-enc-q",
+                         help="[B,T] audio -> (uint8 planes, extrema): mel "
+                              "encode with the PNG quantizer fused in")
+    _common(meq)
+    meq.add_argument("--seconds", type=float, required=True)
+    meq.add_argument("--sample-rate", type=int, default=48000)
+    meq.add_argument("--preset", choices=("cli", "lib"), default="cli")
+
+    peq = sub.add_parser("phase-enc-q",
+                         help="[B,T] audio -> (uint8/16 planes, extrema): "
+                              "phase encode with the PNG quantizer fused in")
+    _common(peq)
+    peq.add_argument("--seconds", type=float, required=True)
+    peq.add_argument("--sample-rate", type=int, default=48000)
+    peq.add_argument("--preset", choices=("cli", "sr"), default="sr")
+
+    mdq = sub.add_parser("mel-dec-q",
+                         help="(uint8 planes, extrema, keys) -> int16 PCM: "
+                              "fused dequantize + Griffin-Lim + PCM-16")
+    _common(mdq)
+    mdq.add_argument("--n-frames", type=int, required=True)
+    mdq.add_argument("--momentum", type=float, default=0.0,
+                     help="fast-GL acceleration baked into the artifact "
+                          "(ops/griffinlim.recommended_gl)")
+    mdq.add_argument("--preset", choices=("cli", "lib"), default="cli")
+
+    pdq = sub.add_parser("phase-dec-q",
+                         help="(planes, extrema) -> int16 PCM: fused "
+                              "dequantize + iSTFT + PCM-16")
+    _common(pdq)
+    pdq.add_argument("--n-frames", type=int, required=True)
+    pdq.add_argument("--sample-rate", type=int, default=48000)
+    pdq.add_argument("--preset", choices=("cli", "sr"), default="sr")
 
     pr = sub.add_parser("phase-rt",
                         help="[B,T] audio -> [B,L] audio: ONE fused "

@@ -162,29 +162,35 @@ class Phase:
 
     def to_phase_wav(self, input_file, output_file):
         if self.device_quantize:
-            raw = _audio.load_wav_pcm16(input_file, mono="mean")
-            if raw is not None:
-                pcm, sample_rate = raw
-                self.reconfigure_sr(sample_rate)
+            buf, sample_rate = _audio.load_wav_any(input_file, mono="mean",
+                                                   raw_pcm16=True)
+            self.reconfigure_sr(sample_rate)
+            if buf.dtype == np.int16:
                 # the engine is the "py" personality (12-byte metadata,
                 # post-upsample samples_in_mel) — its PCM fast path runs
                 # conversion/mean/upsample on device, bit-identical prep
-                self._engine()._encode_file_pcm(pcm, sample_rate,
+                self._engine()._encode_file_pcm(buf, sample_rate,
                                                 output_file)
                 return
+            self._encode_file(buf, sample_rate, output_file,
+                              rescale_sr=False)
+            return
         audio, sample_rate = load_wav_with_sr(input_file)
         self._encode_file(audio, sample_rate, output_file, rescale_sr=False)
 
     def to_phase_flac(self, input_file, output_file):
         if self.device_quantize:
-            raw = _audio.load_flac_pcm16(input_file, mono="mean")
-            if raw is not None:
-                pcm, sample_rate = raw
-                self.reconfigure_sr(sample_rate)
+            buf, sample_rate = _audio.load_flac_any(
+                input_file, mono="mean", scaling="phase", raw_pcm16=True)
+            self.reconfigure_sr(sample_rate)
+            if buf.dtype == np.int16:
                 self._engine()._encode_file_pcm(
-                    pcm, sample_rate, output_file,
+                    buf, sample_rate, output_file,
                     update_sr_after_upsample=True)
                 return
+            self._encode_file(buf, sample_rate, output_file,
+                              rescale_sr=True)
+            return
         audio, sample_rate = load_flac_with_sr(input_file)
         self._encode_file(audio, sample_rate, output_file, rescale_sr=True)
 

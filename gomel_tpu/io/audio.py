@@ -59,13 +59,27 @@ def load_wav(path: str, mono: str = "mean") -> tuple[np.ndarray, int]:
     return audio, int(sr)
 
 
-def load_wav_pcm16(path: str, mono: str = "mean"):
-    """RAW PCM-16 fast-path loader for the device-quantize encode paths:
-    returns (int16 samples, sample_rate) — [L] after mono="left" channel
-    select, or [L, C] untouched for mono="mean" (the mean runs on device;
-    summing int16 channels in f32 then halving is exact, so the device
-    conversion is bit-identical to the host float path). Returns None when
-    the file is not 16-bit PCM (callers fall back to :func:`load_wav`).
+def _raw_or_none(audio: np.ndarray, mono: str):
+    """Raw int16 view for the device-quantize fast paths, or None when the
+    stream needs the float fallback: non-16-bit dtypes, and 3+-channel
+    means (the device f32 mean is only exact — equal to the host f64
+    mean — for the 2-channel sum; more channels double-round)."""
+    if audio.dtype != np.int16:
+        return None
+    if audio.ndim > 1:
+        if mono != "mean":
+            audio = audio[:, 0]  # mirror _to_mono: non-"mean" = channel 0
+        elif audio.shape[1] > 2:
+            return None
+    return np.ascontiguousarray(audio)
+
+
+def load_wav_any(path: str, mono: str = "mean", raw_pcm16: bool = False
+                 ) -> tuple[np.ndarray, int]:
+    """One-decode loader: with ``raw_pcm16`` and a 16-bit stream returns
+    RAW int16 samples ([L], or [L, C] for mono="mean" — the device means
+    and converts, bit-identically to the host float path); otherwise the
+    usual float64 mono buffer. Callers branch on the returned dtype.
     Uploading int16 instead of converted float halves the encode-side
     host->device bytes."""
     try:
@@ -76,25 +90,30 @@ def load_wav_pcm16(path: str, mono: str = "mean"):
         raise FileNotLoadedError(f"could not load wav {path!r}: {e}") from e
     if audio.size == 0 or sr == 0:
         raise FileNotLoadedError(f"empty or invalid wav: {path!r}")
-    if audio.dtype != np.int16:
+    if raw_pcm16:
+        raw = _raw_or_none(audio, mono)
+        if raw is not None:
+            return raw, int(sr)
+    return _to_mono(_to_float(audio), mono), int(sr)
+
+
+def load_wav_pcm16(path: str, mono: str = "mean"):
+    """RAW-only variant of :func:`load_wav_any`: (int16, sr) or None when
+    the file needs the float path. NOTE: decodes the file either way —
+    callers that would fall back to :func:`load_wav` should prefer
+    :func:`load_wav_any`, which decodes once."""
+    buf, sr = load_wav_any(path, mono=mono, raw_pcm16=True)
+    if buf.dtype != np.int16:
         return None
-    if audio.ndim > 1:
-        if mono != "mean":
-            audio = audio[:, 0]  # mirror _to_mono: non-"mean" = channel 0
-        elif audio.shape[1] > 2:
-            # the device f32 mean is only exact (= host f64 mean) for the
-            # 2-channel sum; 3+ channels double-round — fall back
-            return None
-    return np.ascontiguousarray(audio), int(sr)
+    return buf, sr
 
 
-def load_flac_pcm16(path: str, mono: str = "mean"):
-    """RAW PCM-16 fast-path FLAC loader (see :func:`load_wav_pcm16`):
-    returns (int16 samples, sample_rate) for 16-bit streams — [L] for
-    mono/"go_concat"/"left", [L, C] for mono="mean" (device means it) —
-    or None for deeper streams (callers fall back to :func:`load_flac`).
-    The phase 1/32768 and mel 1/65536 scalings are both power-of-two
-    divisions, exact in f32 on device."""
+def load_flac_any(path: str, mono: str = "mean", scaling: str = "phase",
+                  raw_pcm16: bool = False) -> tuple[np.ndarray, int]:
+    """FLAC counterpart of :func:`load_wav_any`. For the float fallback
+    the ``scaling`` applies (phase 1/32768, mel 1/65536); raw int16 results
+    leave the power-of-two scale to the device program
+    (``io.dataset.pcm_scale_for``)."""
     from . import flac as flacdec
     try:
         audio, sr = flacdec.read_flac(
@@ -105,14 +124,23 @@ def load_flac_pcm16(path: str, mono: str = "mean"):
         raise FileNotLoadedError(f"could not decode flac {path!r}: {e}") from e
     if audio.size == 0 or sr == 0:
         raise FileNotLoadedError(f"empty or invalid flac: {path!r}")
-    if audio.dtype != np.int16:
+    if raw_pcm16:
+        raw = _raw_or_none(audio, mono)
+        if raw is not None:
+            return raw, int(sr)
+    out = _to_mono(_to_float(audio), mono)
+    if scaling == "mel":
+        out = out * 0.5
+    return out, int(sr)
+
+
+def load_flac_pcm16(path: str, mono: str = "mean"):
+    """RAW-only variant of :func:`load_flac_any` (see load_wav_pcm16's
+    double-decode note)."""
+    buf, sr = load_flac_any(path, mono=mono, raw_pcm16=True)
+    if buf.dtype != np.int16:
         return None
-    if audio.ndim > 1:
-        if mono != "mean":
-            audio = audio[:, 0]  # mirror _to_mono (go_concat is already 1-D)
-        elif audio.shape[1] > 2:
-            return None  # see load_wav_pcm16: 3+-channel mean double-rounds
-    return np.ascontiguousarray(audio), int(sr)
+    return buf, sr
 
 
 def load_flac(path: str, mono: str = "mean", scaling: str = "phase") -> tuple[np.ndarray, int]:

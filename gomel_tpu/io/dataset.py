@@ -86,15 +86,11 @@ def load_audio(path: str, mono: str = "left",
     device-quantize pipelines convert on device; the scale divisor is
     derivable from dtype + extension + ``flac_scaling``) and falls back to
     the float decode otherwise."""
-    flac = path.lower().endswith(".flac")
-    if raw_pcm16:
-        raw = (audio_io.load_flac_pcm16(path, mono=mono) if flac
-               else audio_io.load_wav_pcm16(path, mono=mono))
-        if raw is not None:
-            return raw
-    if flac:
-        return audio_io.load_flac(path, mono=mono, scaling=flac_scaling)
-    return audio_io.load_wav(path, mono=mono)
+    if path.lower().endswith(".flac"):
+        return audio_io.load_flac_any(path, mono=mono,
+                                      scaling=flac_scaling,
+                                      raw_pcm16=raw_pcm16)
+    return audio_io.load_wav_any(path, mono=mono, raw_pcm16=raw_pcm16)
 
 
 def pcm_scale_for(path: str, buf: np.ndarray,

@@ -32,8 +32,8 @@ from ..core.filterbank import mel_weights, inverse_mel_weights
 from ..ops.mel_ops import mel_decode, mel_encode_batch
 from ..ops.phase_ops import phase_decode, phase_encode
 from ..ops.quantize import (dequantize_mel_plane, dequantize_planes,
-                            pcm16_encode, quantize_mel_plane_batch,
-                            quantize_planes_batch)
+                            pcm16_encode, pcm16_ingest,
+                            quantize_mel_plane_batch, quantize_planes_batch)
 from ..ops.stft import hann_window
 from .mesh import (DATA_AXIS, host_to_global, local_rows_to_global,
                    process_local_batch_multiple)
@@ -291,6 +291,10 @@ class BatchedMel(_BatchedBase):
                             self._fwd, self._window),
                         255, frames=fr))
             xg, b = self._ingest(audio_batch, dtype=np.int16)
+            if np.asarray(scales).shape[0] != b:
+                raise ValueError(
+                    f"scales has {np.asarray(scales).shape[0]} rows for a "
+                    f"{b}-row batch")
             # multiply by the exact reciprocal of the power-of-two divisor
             recip = (1.0 / np.asarray(scales, np.float64)).astype(np.float32)
             scg, _ = self._ingest(recip, dtype=np.float32)
@@ -414,8 +418,9 @@ class BatchedPhase(_BatchedBase):
                 self._encode_q_pcm = jax.jit(
                     lambda xb, fr: quantize_planes_batch(
                         jax.vmap(lambda x: phase_encode(
-                            x.astype(self.dtype) / 32768.0, c.num_freqs,
-                            c.resolut, c.window, self._window))(xb),
+                            pcm16_ingest(x, self.dtype, 32768.0),
+                            c.num_freqs, c.resolut, c.window,
+                            self._window))(xb),
                         max_val, c.ihs_passes, frames=fr))
             xg, b = self._ingest(audio_batch, dtype=np.int16)
         else:

@@ -255,24 +255,28 @@ class LongFormPhase(_LongFormBase):
         """WAV -> phase PNG, frame-sharded over the mesh (same file
         orchestration as pipelines.phase.Phase.to_phase_wav — upsample,
         samples_in_mel, Go metadata layout; phase/phase.go:221-244)."""
-        if self.device_quantize:
-            raw = audio_io.load_wav_pcm16(input_file, mono="left")
-            if raw is not None and pad_shift(int(raw[1]))[0] == 0:
-                self._encode_file_pcm(raw[0], raw[1], output_file)
+        buf, sr = audio_io.load_wav_any(input_file, mono="left",
+                                        raw_pcm16=self.device_quantize)
+        if buf.dtype == np.int16:
+            if pad_shift(int(sr))[0] == 0:
+                self._encode_file_pcm(buf, sr, output_file)
                 return
-        buf, sr = audio_io.load_wav(input_file, mono="left")
+            # upsampled family: convert IN MEMORY (= _to_float), no
+            # second file decode
+            buf = buf.astype(np.float64) / 32768.0
         self._encode_file(buf, sr, output_file)
 
     def to_phase_flac(self, input_file: str, output_file: str) -> None:
         """FLAC -> phase PNG, frame-sharded (phase/phase.go:195-218;
         1/32768 scaling)."""
-        if self.device_quantize:
-            raw = audio_io.load_flac_pcm16(input_file, mono="go_concat")
-            if raw is not None and pad_shift(int(raw[1]))[0] == 0:
-                self._encode_file_pcm(raw[0], raw[1], output_file)
+        buf, sr = audio_io.load_flac_any(input_file, mono="go_concat",
+                                         scaling="phase",
+                                         raw_pcm16=self.device_quantize)
+        if buf.dtype == np.int16:
+            if pad_shift(int(sr))[0] == 0:
+                self._encode_file_pcm(buf, sr, output_file)
                 return
-        buf, sr = audio_io.load_flac(input_file, mono="go_concat",
-                                     scaling="phase")
+            buf = buf.astype(np.float64) / 32768.0
         self._encode_file(buf, sr, output_file)
 
     def to_wav_png(self, input_file: str, output_file: str,
@@ -437,24 +441,22 @@ class LongFormMel(_LongFormBase):
     def to_mel_wav(self, input_file: str, output_file: str) -> None:
         """WAV -> mel PNG, frame-sharded over the mesh (same orchestration
         as pipelines.mel.Mel.to_mel_wav; mel/mel.go:194-209)."""
-        if self.device_quantize:
-            raw = audio_io.load_wav_pcm16(input_file, mono="left")
-            if raw is not None:
-                self._encode_file_pcm(raw[0], raw[1], output_file, 32768.0)
-                return
-        buf, sr = audio_io.load_wav(input_file, mono="left")
+        buf, sr = audio_io.load_wav_any(input_file, mono="left",
+                                        raw_pcm16=self.device_quantize)
+        if buf.dtype == np.int16:
+            self._encode_file_pcm(buf, sr, output_file, 32768.0)
+            return
         self._encode_file(buf, sr, output_file)
 
     def to_mel_flac(self, input_file: str, output_file: str) -> None:
         """FLAC -> mel PNG, frame-sharded (mel/mel.go:176-191; mel 1/65536
         FLAC scaling)."""
-        if self.device_quantize:
-            raw = audio_io.load_flac_pcm16(input_file, mono="go_concat")
-            if raw is not None:
-                self._encode_file_pcm(raw[0], raw[1], output_file, 65536.0)
-                return
-        buf, sr = audio_io.load_flac(input_file, mono="go_concat",
-                                     scaling="mel")
+        buf, sr = audio_io.load_flac_any(input_file, mono="go_concat",
+                                         scaling="mel",
+                                         raw_pcm16=self.device_quantize)
+        if buf.dtype == np.int16:
+            self._encode_file_pcm(buf, sr, output_file, 65536.0)
+            return
         self._encode_file(buf, sr, output_file)
 
     def to_wav_png(self, input_file: str, output_file: str, seed: int = 0,

@@ -275,9 +275,10 @@ class Mel:
     def to_mel_wav(self, input_file: str, output_file: str) -> None:
         """WAV -> mel PNG (reference ToMelWav, mel/mel.go:194-209)."""
         if self.device_quantize:
-            raw = audio_io.load_wav_pcm16(input_file, mono="left")
-            if raw is not None:
-                pcm, sr = raw
+            buf, sr = audio_io.load_wav_any(input_file, mono="left",
+                                            raw_pcm16=True)
+            if buf.dtype == np.int16:
+                pcm = buf
                 c = self.config
                 padded = pad_length(pcm.shape[0], c.window)
                 fc = auto_frame_chunk(num_frames(padded, c.resolut,
@@ -290,6 +291,8 @@ class Mel:
                     self._samples_in_mel(pcm.shape[0], img2.shape[1]),
                     float(sr))
                 return
+            self._to_mel_file(buf, sr, output_file)
+            return
         buf, sr = audio_io.load_wav(input_file, mono="left")
         self._to_mel_file(buf, sr, output_file)
 
@@ -297,9 +300,10 @@ class Mel:
         """FLAC -> mel PNG (reference ToMelFlac, mel/mel.go:176-191; note the
         mel package's 1/65536 FLAC scaling, mel/impl.go:290)."""
         if self.device_quantize:
-            raw = audio_io.load_flac_pcm16(input_file, mono="go_concat")
-            if raw is not None:
-                pcm, sr = raw
+            buf, sr = audio_io.load_flac_any(input_file, mono="go_concat",
+                                             scaling="mel", raw_pcm16=True)
+            if buf.dtype == np.int16:
+                pcm = buf
                 c = self.config
                 padded = pad_length(pcm.shape[0], c.window)
                 fc = auto_frame_chunk(num_frames(padded, c.resolut,
@@ -315,6 +319,8 @@ class Mel:
                     self._samples_in_mel(pcm.shape[0], img2.shape[1]),
                     float(sr))
                 return
+            self._to_mel_file(buf, sr, output_file)
+            return
         buf, sr = audio_io.load_flac(input_file, mono="go_concat",
                                      scaling="mel")
         self._to_mel_file(buf, sr, output_file)

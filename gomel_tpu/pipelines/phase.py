@@ -320,36 +320,29 @@ class Phase:
         """WAV -> phase PNG with zero-stuff upsampling
         (reference ToPhaseWav, phase/phase.go:221-244)."""
         mono = "left" if self.metadata_layout == "go" else "mean"
-        if self.device_quantize:
-            raw = audio_io.load_wav_pcm16(input_file, mono=mono)
-            if raw is not None:
-                pcm, sr = raw
-                if self.config.sample_rate == 0 \
-                        and self.metadata_layout == "py":
-                    self.reconfigure_sr(sr)
-                self._encode_file_pcm(pcm, sr, output_file)
-                return
-        buf, sr = audio_io.load_wav(input_file, mono=mono)
+        buf, sr = audio_io.load_wav_any(input_file, mono=mono,
+                                        raw_pcm16=self.device_quantize)
         if self.config.sample_rate == 0 and self.metadata_layout == "py":
             self.reconfigure_sr(sr)
+        if buf.dtype == np.int16:
+            self._encode_file_pcm(buf, sr, output_file)
+            return
         self._encode_file(buf, sr, output_file)
 
     def to_phase_flac(self, input_file: str, output_file: str) -> None:
         """FLAC -> phase PNG (reference ToPhaseFlac, phase/phase.go:195-218;
         phase FLAC scaling is 1/32768, phase/impl.go:375)."""
         mono = "go_concat" if self.metadata_layout == "go" else "mean"
-        if self.device_quantize:
-            raw = audio_io.load_flac_pcm16(input_file, mono=mono)
-            if raw is not None:
-                pcm, sr = raw
-                if self.config.sample_rate == 0 \
-                        and self.metadata_layout == "py":
-                    self.reconfigure_sr(sr)
-                self._encode_file_pcm(
-                    pcm, sr, output_file,
-                    update_sr_after_upsample=(self.length_mode == "py"))
-                return
-        buf, sr = audio_io.load_flac(input_file, mono=mono, scaling="phase")
+        buf, sr = audio_io.load_flac_any(input_file, mono=mono,
+                                         scaling="phase",
+                                         raw_pcm16=self.device_quantize)
+        if buf.dtype == np.int16:
+            if self.config.sample_rate == 0 and self.metadata_layout == "py":
+                self.reconfigure_sr(sr)
+            self._encode_file_pcm(
+                buf, sr, output_file,
+                update_sr_after_upsample=(self.length_mode == "py"))
+            return
         if self.config.sample_rate == 0 and self.metadata_layout == "py":
             self.reconfigure_sr(sr)
         self._encode_file(buf, sr, output_file,
